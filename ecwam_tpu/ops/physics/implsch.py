@@ -1,0 +1,236 @@
+"""Semi-implicit source-term integration — one physics step.
+
+JAX re-derivation of the reference physics step:
+  - SINFLX   stress/input iteration (2 calls)  (/root/reference/src/ecwam/sinflx.F90:190-260)
+  - IMPLSCH  full chain: depth limit → means → 2×SINFLX → SDISSIP → SNONLIN →
+             SDIWBK → SBOTTOM → implicit update with growth limiter →
+             means → IMPHFTAIL → SETICE       (implsch.F90:120-360)
+
+Everything is a pure function of (fl1, env, forcing, stress-state) returning
+the new spectrum and updated stress-state/diagnostics.  Layout: fl1
+(nang, nfre, npts).
+
+Sea-ice attenuation source terms (SDICE, LCIWA*) and the NEMO flux coupling
+are not yet wired in (reference defaults run with LMASKICE=T ice masking,
+which is implemented via FLM/SETICE).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ecwam_tpu.core import constants as c
+from ecwam_tpu.core import physparams as pp
+from ecwam_tpu.ops.physics import airsea as airsea_mod
+from ecwam_tpu.ops.physics import dia as dia_mod
+from ecwam_tpu.ops.physics import means as means_mod
+from ecwam_tpu.ops.physics import sdissip as sdissip_mod
+from ecwam_tpu.ops.physics import shallow as shallow_mod
+from ecwam_tpu.ops.physics import sinput as sinput_mod
+from ecwam_tpu.ops.physics import stress as stress_mod
+from ecwam_tpu.ops.physics import tables as tables_mod
+from ecwam_tpu.ops.physics.tail_ice import FLMIN, imphftail, setice
+
+XIMP = 1.0               # implicitness factor (yowstat.F90:94)
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsConfig:
+    """Static configuration closed over by the jitted step."""
+
+    tables: Any               # SpectralTables
+    params: pp.PhysParams
+    dia: dia_mod.DiaTables
+    sat_indices: np.ndarray
+    sat_weights: np.ndarray
+    x0tauhf: float
+    wtauhf: np.ndarray
+    idelt: float              # physics timestep (s)
+    nfre_red: int
+    isnonlin: int = 1
+    lbiwbk: bool = True
+    licerun: bool = True
+    lmaskice: bool = True
+    lciscal: bool = False
+
+
+def make_physics_config(tables, params: pp.PhysParams, idelt: float,
+                        *, nfre_red: int | None = None,
+                        **kw) -> PhysicsConfig:
+    nsdsnth, sat_idx, sat_w = pp.saturation_weights(
+        tables.nang, tables.th, tables.delth)
+    dia_tb = dia_mod.build_dia_tables(
+        tables.nang, tables.nfre, tables.fr, tables.delth, tables.fratio)
+    return PhysicsConfig(
+        tables=tables, params=params, dia=dia_tb,
+        sat_indices=sat_idx, sat_weights=sat_w,
+        x0tauhf=tables_mod.x0_tauhf(params),
+        wtauhf=tables_mod.wtauhf(params),
+        idelt=idelt, nfre_red=nfre_red or tables.nfre_red, **kw)
+
+
+def sinflx(icall, ncall, cfg: PhysicsConfig, fl1, env, frc, flm,
+           fmean, halp, ufric, tauw, tauwdir, z0m, z0b, chrnck,
+           *, lupdtus=True):
+    """One stress/input iteration (sinflx.F90:190-260).
+
+    Returns dict with updated fl1 (tail floor applied on call 1), stress
+    state, input source arrays and the prognostic cut.
+    """
+    params = cfg.params
+    tb = cfg.tables
+    dt = fl1.dtype
+    raorw = jnp.maximum(frc["aird"], 1.0) * c.ROWATERM1
+    th = jnp.asarray(tb.th, dt)[:, None]
+    coswdif = jnp.cos(th - frc["wdwave"][None, :])
+    sinwdif2 = jnp.sin(th - frc["wdwave"][None, :]) ** 2
+
+    if params.llnormagam and params.llcapchnk:
+        rnfac = 1.0 + params.dthrn_a * (
+            1.0 + jnp.tanh(frc["wswave"] - params.dthrn_u))
+    else:
+        rnfac = jnp.ones_like(frc["wswave"])
+
+    if lupdtus:
+        if icall == 1:
+            # raise tail noise floor (sinflx.F90:112-115)
+            fl1 = fl1.at[:, -1, :].set(
+                jnp.maximum(fl1[:, -1, :], flm))
+            if params.llgcbz0:
+                raise NotImplementedError("HALPHAP/LLGCBZ0")
+            halp = jnp.zeros_like(fmean)
+        _, ufric, z0m, z0b, chrnck = airsea_mod.airsea(
+            frc["wswave"], frc["wdwave"], tauw, tauwdir, ufric, params,
+            icode_wnd=3, iusfg=0 if icall == 1 else 1)
+
+    ngst = 1 if icall < ncall else 2
+    llsneg = icall >= ncall
+    llphiwa = icall >= ncall
+
+    sinput = (sinput_mod.sinput_ard if params.iphys == 1
+              else sinput_mod.sinput_jan)
+    fld, sl, spos, xllws = sinput(
+        fl1, env["wavnum"], env["cinv"], env["xk2cg"],
+        frc["wdwave"], frc["wswave"], ufric, z0m,
+        coswdif, sinwdif2, raorw, frc["wstar"], rnfac,
+        tb, params, ngst=ngst, llsneg=llsneg)
+
+    _, fmeanws = means_mod.femeanws(fl1, xllws, tb)
+    mij, rhowgdfth = stress_mod.frcutindex(
+        fmean, fmeanws, ufric, frc["cicover"], tb, params)
+    tauw, tauwdir, phiwa = stress_mod.stresso(
+        fl1, sl, spos, env["cinv"], mij, rhowgdfth,
+        frc["wdwave"], ufric, z0m, frc["aird"], rnfac, coswdif, sinwdif2,
+        tb, params, x0tauhf=cfg.x0tauhf, wtauhf=cfg.wtauhf, llphiwa=llphiwa)
+
+    return dict(
+        fl1=fl1, ufric=ufric, tauw=tauw, tauwdir=tauwdir,
+        z0m=z0m, z0b=z0b, chrnck=chrnck, halp=halp,
+        fld=fld, sl=sl, spos=spos, xllws=xllws,
+        mij=mij, rhowgdfth=rhowgdfth, fmeanws=fmeanws, phiwa=phiwa,
+        coswdif=coswdif, raorw=raorw, rnfac=rnfac)
+
+
+def implsch(cfg: PhysicsConfig, fl1, env, frc,
+            ufric, tauw, tauwdir, z0m, z0b, chrnck):
+    """One full physics step of Δt=idelt (implsch.F90:120-360).
+
+    Returns (fl1_new, state_dict) where state_dict carries the updated
+    stress fields and diagnostics.
+    """
+    params = cfg.params
+    tb = cfg.tables
+    dt = fl1.dtype
+    delt = cfg.idelt
+    deltm = 1.0 / delt
+    delt5 = XIMP * delt
+
+    if cfg.lbiwbk:
+        fl1 = means_mod.sdepthlim(fl1, env["emaxdpt"], tb)
+
+    emean, fmean, f1mean, akmean, xkmean = means_mod.fkmean(
+        fl1, env["wavnum"], tb)
+
+    th = jnp.asarray(tb.th, dt)[:, None]
+    coswdif = jnp.cos(th - frc["wdwave"][None, :])
+    flm = (1.0 - 0.9 * jnp.minimum(frc["cicover"], 0.99))[None, :] * \
+        FLMIN * jnp.maximum(0.0, coswdif) ** 2        # (nang, npts)
+
+    halp = jnp.zeros_like(fmean)
+    st = None
+    for icall in (1, 2):
+        st = sinflx(icall, 2, cfg, fl1, env, frc, flm, fmean, halp,
+                    ufric, tauw, tauwdir, z0m, z0b, chrnck)
+        fl1, ufric, tauw, tauwdir = (
+            st["fl1"], st["ufric"], st["tauw"], st["tauwdir"])
+        z0m, z0b, chrnck, halp = st["z0m"], st["z0b"], st["chrnck"], st["halp"]
+    fld, sl = st["fld"], st["sl"]
+    mij, xllws, fmeanws = st["mij"], st["xllws"], st["fmeanws"]
+
+    if params.iphys == 1:
+        fld, sl = sdissip_mod.sdissip_ard(
+            fl1, fld, sl, env["wavnum"], env["cgroup"], env["xk2cg"],
+            ufric, st["coswdif"], st["raorw"], tb, params,
+            cfg.sat_indices, cfg.sat_weights)
+    else:
+        fld, sl = sdissip_mod.sdissip_jan(
+            fl1, fld, sl, env["wavnum"], emean, f1mean, xkmean, tb, params)
+
+    fld, sl = dia_mod.snonlin(
+        fl1, fld, sl, env["wavnum"], env["depth"], akmean, tb, cfg.dia,
+        isnonlin=cfg.isnonlin)
+
+    fld, sl = shallow_mod.sdiwbk(
+        fl1, fld, sl, env["depth"], env["emaxdpt"], emean, f1mean,
+        cfg.nfre_red, lbiwbk=cfg.lbiwbk)
+
+    if cfg.licerun and cfg.lciscal:
+        beta = (1.0 - frc["cicover"])[None, None, :]
+        sl = beta * sl
+        fld = beta * fld
+
+    fld, sl = shallow_mod.sbottom(
+        fl1, fld, sl, env["wavnum"], env["depth"], cfg.nfre_red)
+
+    # ---- semi-implicit update with growth limiter (implsch.F90:260-300)
+    cofrm4 = jnp.asarray(tb.cofrm4, dt)[None, :, None]
+    usfm = (ufric * jnp.maximum(fmeanws, fmean))[None, None, :]
+    temp = usfm * (cofrm4 * delt)
+    gtemp1 = jnp.maximum(1.0 - delt5 * fld, 1.0)
+    gtemp2 = delt * sl / gtemp1
+    flhab = jnp.minimum(jnp.abs(gtemp2), temp)
+    fl1 = fl1 + jnp.sign(gtemp2) * flhab
+    fl1 = jnp.maximum(fl1, flm[:, None, :])
+    flmax = jnp.asarray(_flmax(tb, params), dt)[None, :, None]
+    fl1 = jnp.minimum(fl1, flmax)
+
+    emean, fmean, f1mean, akmean, xkmean = means_mod.fkmean(
+        fl1, env["wavnum"], tb)
+    emeanws, fmeanws = means_mod.femeanws(fl1, xllws, tb)
+
+    fl1 = imphftail(fl1, mij, flm, env["wavnum"], env["xk2cg"])
+
+    wsemean = jnp.where(emeanws < c.WSEMEAN_MIN, c.WSEMEAN_MIN, emeanws)
+    wsfmean = jnp.where(emeanws < c.WSEMEAN_MIN, 2.0 * tb.fr[-1], fmeanws)
+
+    if cfg.licerun and cfg.lmaskice:
+        fl1 = setice(fl1, frc["cicover"], st["coswdif"])
+
+    state = dict(
+        ufric=ufric, tauw=tauw, tauwdir=tauwdir, z0m=z0m, z0b=z0b,
+        chrnck=chrnck, mij=mij, xllws=xllws, phiwa=st["phiwa"],
+        emean=emean, fmean=fmean, f1mean=f1mean, akmean=akmean,
+        xkmean=xkmean, emeanws=emeanws, fmeanws=fmeanws,
+        wsemean=wsemean, wsfmean=wsfmean)
+    return fl1, state
+
+
+def _flmax(tb, params: pp.PhysParams) -> np.ndarray:
+    """Spectral cap FLMAX(m) = (ALPHAPMAX/π)/((2π)⁴g⁻²·fr⁵) (initmdl.F90:468)."""
+    return (params.alphapmax / c.PI) / (c.ZPI4GM2 * tb.fr5)

@@ -1,0 +1,58 @@
+"""Shallow-water source terms: bottom friction and depth-induced breaking.
+
+JAX re-derivations of:
+  - SBOTTOM  JONSWAP bottom friction  (/root/reference/src/ecwam/sbottom.F90:41-60)
+  - SDIWBK   Battjes-Janssen depth-induced breaking (sdiwbk.F90:44-75)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ecwam_tpu.core import constants as c
+from ecwam_tpu.core.dispersion import BATHYMAX
+
+DEPTHTRS = 50.0          # breaking only where depth < 50 m (sdiwbk.F90)
+
+
+def sbottom(fl1, fld, sl, wavnum, depth, nfre_red: int):
+    """Bottom friction SB = −2·0.038/g · k/sinh(2kd) · F (sbottom.F90:41-60).
+
+    Applied to the first ``nfre_red`` frequencies only.
+    """
+    const = -2.0 * 0.038 * c.GM1
+    arg = jnp.minimum(2.0 * depth[None, :] * wavnum[:nfre_red], 50.0)
+    sbo = jnp.where(depth[None, :] < BATHYMAX,
+                    const * wavnum[:nfre_red] / jnp.sinh(arg), 0.0)
+    sl = sl.at[:, :nfre_red].add(sbo[None] * fl1[:, :nfre_red])
+    fld = fld.at[:, :nfre_red].add(jnp.broadcast_to(
+        sbo[None], fld[:, :nfre_red].shape))
+    return fld, sl
+
+
+def sdiwbk(fl1, fld, sl, depth, emaxdpt, emean, f1mean, nfre_red: int,
+           *, lbiwbk: bool = True):
+    """Depth-induced wave breaking (sdiwbk.F90:44-75).
+
+    Solves Q = exp(-alph·(1-Q)) for the breaking probability by 15 Newton
+    steps (fixed-trip; converged values are fixed points).
+    """
+    if not lbiwbk:
+        return fld, sl
+    alph = 2.0 * emaxdpt / emean
+    arg = jnp.minimum(alph, 50.0)
+
+    def newton(_, q):
+        expq = jnp.exp(-arg * (1.0 - q))
+        return q - (expq - q) / (arg * expq - 1.0)
+
+    q = jax.lax.fori_loop(0, 15, newton, jnp.exp(-arg))
+    q = jnp.minimum(q, 1.0)
+    sds = 2.0 * alph * q * f1mean                     # COEF_B_J = 2
+    active = depth < DEPTHTRS
+    sds = jnp.where(active, sds, 0.0)
+    sl = sl.at[:, :nfre_red].add(-sds[None, None, :] * fl1[:, :nfre_red])
+    fld = fld.at[:, :nfre_red].add(jnp.broadcast_to(
+        -sds[None, None, :], fld[:, :nfre_red].shape))
+    return fld, sl

@@ -1,0 +1,272 @@
+"""Wind-input source term S_in.
+
+JAX re-derivations of the reference wind input:
+  - SINPUT_ARD  Ardhuin et al. (2010) positive input + gustiness averaging +
+    tail-stress sheltering + negative (swell damping) part
+    (/root/reference/src/ecwam/sinput_ard.F90:88-434)
+  - SINPUT_JAN  Janssen quasi-linear input (WAM cy4)
+    (sinput_jan.F90:84-280)
+
+Layout: fl1 (nang, nfre, npts); per-frequency env (nfre, npts); scalars
+(npts,).  The Ardhuin version runs a `lax.scan` over frequency because the
+tauw-sheltering stress accumulates low→high frequency; the Janssen version is
+frequency-parallel.
+
+Returns (fld, sl, spos, xllws) with fld = ∂S/∂F diagonal, sl = S_in,
+spos = positive part only, xllws = windsea mask.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ecwam_tpu.core import constants as c
+from ecwam_tpu.core import physparams as pp
+from ecwam_tpu.ops.physics import tables
+from ecwam_tpu.ops.physics.airsea import wsigstar
+
+IDAMPING = 1              # mpuserin.F90:609
+
+
+def _swellft_interp(zorb, dt):
+    """Linear interpolation in the swell friction table
+    (sinput_ard.F90:187-194)."""
+    table = jnp.asarray(tables.tabu_swellft(), dt)
+    delabm1 = tables.IAB / (tables.ABMAX - tables.ABMIN)
+    xi = (jnp.log10(jnp.maximum(zorb, 3.0)) - tables.ABMIN) * delabm1
+    ind = jnp.minimum(tables.IAB - 1, xi.astype(jnp.int32))  # Fortran IND
+    deli1 = jnp.minimum(1.0, xi - ind.astype(dt))
+    deli2 = 1.0 - deli1
+    # Fortran SWELLFT(IND) is table[ind-1] (our table drops the unused 0 slot)
+    return table[ind - 1] * deli2 + table[ind] * deli1
+
+
+def sinput_ard(fl1, wavnum, cinv, xk2cg,
+               wdwave, wswave, ufric, z0m,
+               coswdif, sinwdif2, raorw, wstar, rnfac,
+               tb, params: pp.PhysParams,
+               *, ngst: int = 2, llsneg: bool = True):
+    """Ardhuin wind input (sinput_ard.F90:88-434)."""
+    dt = fl1.dtype
+    nang, nfre, npts = fl1.shape
+    th = jnp.asarray(tb.th, dt)[:, None]             # (nang, 1)
+    sinth = jnp.asarray(tb.sinth, dt)[:, None]
+    costh = jnp.asarray(tb.costh, dt)[:, None]
+    dfim = jnp.asarray(tb.dfim, dt)
+    zpifr = jnp.asarray(tb.zpifr, dt)
+
+    avg_gst = 1.0 / ngst
+    const1 = params.betamaxoxkappa2
+    constn = tb.delth / (pp.XKAPPA * c.ZPI)
+    abs_tauwshelter = abs(params.tauwshelter)
+    ltauwshelter = abs_tauwshelter != 0.0
+
+    if ngst > 1:
+        sig_n = wsigstar(wswave, ufric, z0m, wstar, params)
+        ustp0 = jnp.stack([ufric * (1.0 + sig_n), ufric * (1.0 - sig_n)])
+    else:
+        ustp0 = ufric[None, :]
+
+    cstrnfac = constn * rnfac / raorw if params.llnormagam else None
+
+    # ---- negative-input (swell damping) precompute (sinput_ard.F90:122-205)
+    if llsneg:
+        nu_air = pp.RNU
+        fu = abs(pp.SWELLF3)
+        fud = pp.SWELLF2
+        e1d = jnp.sum(fl1, axis=0)                   # (nfre, npts)
+        uorbt = 2.0 * jnp.sqrt(
+            c.EPSMIN + jnp.sum((dfim * zpifr**2)[:, None] * e1d, axis=0))
+        aorb = 2.0 * jnp.sqrt(
+            c.EPSMIN + jnp.sum(dfim[:, None] * e1d, axis=0))
+        re = (4.0 / nu_air) * uorbt * aorb
+        z0vis = pp.RNUM / jnp.maximum(ufric, 1.0e-4)
+        z0tub = params.z0rat * jnp.minimum(params.z0tubmax, z0m)
+        z0noz = jnp.maximum(z0vis, z0tub)
+        zorb = aorb / z0noz
+        fww = _swellft_interp(zorb, dt)
+        temp2 = fww * uorbt
+        if pp.SWELLF6 == 1.0:
+            re_c = jnp.full_like(re, params.swellf4)
+        else:
+            re_c = params.swellf4 * (2.0 / aorb) ** (1.0 - pp.SWELLF6)
+        if params.swellf7 > 0.0:
+            smooth = 0.5 * jnp.tanh((re - re_c) * params.swellf7m1)
+            pturb, pvisc = 0.5 + smooth, 0.5 - smooth
+        else:
+            pturb = jnp.where(re <= re_c, 0.0, 0.5).astype(dt)
+            pvisc = jnp.where(re <= re_c, 0.5, 0.0).astype(dt)
+        aird_pvisc = pvisc * raorw
+
+    if ltauwshelter:
+        usg2 = ustp0**2
+        taux = usg2 * jnp.sin(wdwave)[None, :]
+        tauy = usg2 * jnp.cos(wdwave)[None, :]
+        rogoroair = c.G / raorw
+
+    def per_freq(stress, m):
+        """One frequency step; stress = (xstress, ystress) each (ngst, npts)."""
+        xstress, ystress = stress
+        sig = zpifr[m]
+        sig2 = sig**2
+        const = sig * const1
+        wav_m = wavnum[m]
+        cinv_m = cinv[m]
+        fl1_m = jnp.take(fl1, m, axis=1)             # (nang, npts)
+
+        if ltauwshelter:
+            taupx = taux - abs_tauwshelter * xstress
+            taupy = tauy - abs_tauwshelter * ystress
+            usdirp = jnp.arctan2(taupx, taupy)       # (ngst, npts)
+            ustp = (taupx**2 + taupy**2) ** 0.25
+            constf = rogoroair * cinv_m * dfim[m]
+        else:
+            ustp = ustp0
+        ustpm1 = 1.0 / jnp.maximum(ustp, jnp.asarray(c.EPSUS, dt))
+
+        ucn = ustp * cinv_m[None, :]                 # (ngst, npts)
+        ucnzalpd = pp.XKAPPA / (ucn + params.zalp)
+        zcn = jnp.log(wav_m * z0m)                   # (npts,)
+        cnsn = const * raorw
+
+        if llsneg:
+            coef = -pp.SWELLF * 16.0 * sig2 / c.G
+            coef5 = -pp.SWELLF5 * 2.0 * jnp.sqrt(2.0 * nu_air * sig)
+            dstab1 = coef5 * aird_pvisc * wav_m
+            temp1 = coef * raorw
+
+        xllws_m = jnp.zeros((nang, npts), dt)
+        spos_sum = jnp.zeros((nang, npts), dt)
+        fld_sum = jnp.zeros((nang, npts), dt)
+        xstress_new, ystress_new = [], []
+        for igst in range(ngst):
+            if ltauwshelter:
+                coslp = jnp.cos(th - usdirp[igst][None, :])
+            else:
+                coslp = coswdif
+            # growth rate (sinput_ard.F90:337-351)
+            x = coslp * ucn[igst][None, :]
+            zlog = zcn[None, :] + ucnzalpd[igst][None, :] / jnp.where(
+                coslp > 0.01, coslp, 1.0)
+            active = (coslp > 0.01) & (zlog < 0.0)
+            zlog2x = zlog * zlog * x
+            gam0 = jnp.where(
+                active, jnp.exp(zlog) * zlog2x * zlog2x * cnsn[None, :], 0.0)
+            xllws_m = jnp.maximum(xllws_m, active.astype(dt))
+
+            if params.llnormagam:
+                sumf = jnp.sum(gam0 * fl1_m, axis=0)
+                sumfsin2 = jnp.sum(gam0 * fl1_m * sinwdif2, axis=0)
+                znz = cstrnfac * xk2cg[m] * ustpm1[igst]
+                gamnorma = (1.0 + znz * sumfsin2) / (1.0 + znz * sumf)
+            else:
+                gamnorma = jnp.ones((npts,), dt)
+
+            if llsneg:
+                dstab2 = temp1[None, :] * (
+                    temp2[None, :] + (fu + fud * coslp) * ustp[igst][None, :])
+                dstab = dstab1[None, :] + pturb[None, :] * dstab2
+            else:
+                dstab = jnp.zeros((nang, npts), dt)
+
+            slp = gam0 * gamnorma[None, :]
+            flp = slp + dstab
+            slp = slp * fl1_m
+            if ltauwshelter:
+                xstress_new.append(
+                    xstress[igst] + jnp.sum(slp * sinth, axis=0) * constf)
+                ystress_new.append(
+                    ystress[igst] + jnp.sum(slp * costh, axis=0) * constf)
+            spos_sum = spos_sum + slp
+            fld_sum = fld_sum + flp
+
+        if ltauwshelter:
+            xstress = jnp.stack(xstress_new)
+            ystress = jnp.stack(ystress_new)
+
+        spos_m = avg_gst * spos_sum
+        fld_m = avg_gst * fld_sum
+        sl_m = fld_m * fl1_m
+        return (xstress, ystress), (fld_m, sl_m, spos_m, xllws_m)
+
+    zeros = jnp.zeros((ustp0.shape[0], npts), dt)
+    (_, _), (fld, sl, spos, xllws) = jax.lax.scan(
+        per_freq, (zeros, zeros), jnp.arange(nfre))
+    # stacked (nfre, nang, npts) → (nang, nfre, npts)
+    tr = lambda a: jnp.transpose(a, (1, 0, 2))
+    return tr(fld), tr(sl), tr(spos), tr(xllws)
+
+
+def sinput_jan(fl1, wavnum, cinv, xk2cg,
+               wdwave, wswave, ufric, z0m,
+               coswdif, sinwdif2, raorw, wstar, rnfac,
+               tb, params: pp.PhysParams,
+               *, ngst: int = 2, llsneg: bool = True):
+    """Janssen quasi-linear wind input (sinput_jan.F90:84-280)."""
+    dt = fl1.dtype
+    nang, nfre, npts = fl1.shape
+    zpifr = jnp.asarray(tb.zpifr, dt)[:, None]       # (nfre, 1)
+
+    const1 = params.betamaxoxkappa2
+    const3 = IDAMPING * 2.0 * pp.XKAPPA / const1
+    constn = tb.delth / (pp.XKAPPA * c.ZPI)
+    xkappad = 1.0 / pp.XKAPPA
+
+    lz = coswdif > 0.01                              # (nang, npts)
+
+    if ngst > 1:
+        sig_n = wsigstar(wswave, ufric, z0m, wstar, params)
+        sigdev = jnp.stack([1.0 - sig_n, 1.0 + sig_n])
+        wsin = (0.5, 0.5)
+    else:
+        sigdev = jnp.ones((1, npts), dt)
+        wsin = (1.0,)
+    us = ufric[None, :] * sigdev                     # (ngst, npts)
+    ustpm1 = 1.0 / jnp.maximum(us, jnp.asarray(c.EPSUS, dt))
+
+    ztanhkd = zpifr**2 / (c.G * wavnum)              # (nfre, npts)
+    cnsn = zpifr * const1 * ztanhkd * raorw[None, :]
+
+    cstrnfac = constn * rnfac / raorw if params.llnormagam else None
+
+    ufac1 = jnp.zeros((nang, nfre, npts), dt)
+    ufac2 = jnp.zeros((nang, nfre, npts), dt)
+    xllws = jnp.zeros((nang, nfre, npts), dt)
+    for igst in range(len(wsin)):
+        us_g = us[igst]
+        ucn = us_g[None, :] * cinv + params.zalp     # (nfre, npts)
+        const3_ucn2 = const3 * ucn**2
+        ucnd = 1.0 / ucn
+        zcn = jnp.log(wavnum * z0m[None, :])
+        xvd = 1.0 / (-us_g[None, :] * xkappad * zcn * cinv)
+
+        cosw = jnp.where(lz, coswdif, 1.0)[:, None, :]
+        zlog = zcn[None, :, :] + pp.XKAPPA / cosw * ucnd[None, :, :]
+        active = lz[:, None, :] & (zlog < 0.0)
+        x = coswdif[:, None, :] * ucn[None, :, :]
+        zlog2x = zlog * zlog * x
+        gam0 = jnp.where(
+            active, zlog2x * zlog2x * jnp.exp(zlog) * cnsn[None, :, :], 0.0)
+        xllws = jnp.maximum(xllws, active.astype(dt))
+
+        if params.llnormagam:
+            sumf = jnp.sum(gam0 * fl1, axis=0)       # (nfre, npts)
+            sumfsin2 = jnp.sum(gam0 * fl1 * sinwdif2[:, None, :], axis=0)
+            znz = (cstrnfac[None, :] * xk2cg) * ustpm1[igst][None, :]
+            gamnorma = (1.0 + znz * sumfsin2) / (1.0 + znz * sumf)
+        else:
+            gamnorma = jnp.ones((nfre, npts), dt)
+
+        ufac1 = ufac1 + wsin[igst] * gam0 * gamnorma[None, :, :]
+        if llsneg:
+            zbeta = const3_ucn2[None, :, :] * (
+                coswdif[:, None, :] - xvd[None, :, :])
+            ufac2 = ufac2 + wsin[igst] * zbeta
+
+    fld = ufac1 + ufac2 * cnsn[None, :, :]
+    spos = ufac1 * fl1
+    sl = fld * fl1
+    return fld, sl, spos, xllws

@@ -6,7 +6,9 @@ on host CPU devices exactly as the driver's dryrun does.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session env pins JAX_PLATFORMS=axon (remote TPU tunnel),
+# which is far too slow for eager unit tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,143 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ecwam_tpu.core import constants as c
+from ecwam_tpu.core import dispersion
+from ecwam_tpu.core import physparams as pp
+from ecwam_tpu.core.spectral import build_spectral_tables
+from ecwam_tpu.ops.physics import implsch as impl
+from ecwam_tpu.ops.physics import means as means_mod
+from ecwam_tpu.ops.physics import tables as tables_mod
+from ecwam_tpu.ops.physics.airsea import taut_z0
+
+
+NANG, NFRE, NPTS = 12, 25, 8
+
+
+def jonswap(tb, hs=2.0, fp=0.1, wdir=0.0):
+    """Synthetic JONSWAP-ish spectrum (nang, nfre) with cos² spreading."""
+    fr = tb.fr
+    alpha = 0.0081
+    gamma = 3.3
+    sigma = np.where(fr <= fp, 0.07, 0.09)
+    r = np.exp(-((fr - fp) ** 2) / (2 * sigma**2 * fp**2))
+    s = (alpha * c.G**2 / (2 * np.pi) ** 4 * fr**-5
+         * np.exp(-1.25 * (fp / fr) ** 4) * gamma**r)
+    spread = np.maximum(np.cos(tb.th - wdir), 0.0) ** 2
+    spread = spread / (np.sum(spread) * tb.delth)
+    f2d = spread[:, None] * s[None, :]
+    # normalize to requested Hs
+    em = np.sum(f2d * tb.dfim[None, :])
+    f2d *= (hs / 4.0) ** 2 / em
+    return f2d
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tb = build_spectral_tables(nang=NANG, nfre=NFRE)
+    params = pp.set_phys_params(iphys=1, nang=NANG)
+    cfg = impl.make_physics_config(tb, params, idelt=900.0)
+    cfg_step = jax.jit(lambda *a, **kw: impl.implsch(cfg, *a, **kw))
+    depth = np.full(NPTS, dispersion.BATHYMAX)
+    props = dispersion.depth_properties(depth, tb.fr)
+    env = {k: jnp.asarray(v.T) for k, v in props.items()}
+    env["depth"] = jnp.asarray(depth)
+    env["emaxdpt"] = jnp.asarray(dispersion.depth_limited_energy(depth))
+    f2d = jonswap(tb)
+    fl1 = jnp.asarray(np.broadcast_to(f2d[:, :, None], (NANG, NFRE, NPTS)))
+    frc = dict(
+        wswave=jnp.full(NPTS, 10.0),
+        wdwave=jnp.zeros(NPTS),
+        aird=jnp.full(NPTS, 1.225),
+        wstar=jnp.zeros(NPTS),
+        cicover=jnp.zeros(NPTS),
+    )
+    return tb, params, cfg, cfg_step, env, fl1, frc
+
+
+def _zero_stress_state():
+    z = jnp.zeros(NPTS)
+    return dict(ufric=jnp.full(NPTS, 0.3), tauw=z, tauwdir=z,
+                z0m=jnp.full(NPTS, 1e-4), z0b=z, chrnck=jnp.full(NPTS, 0.018))
+
+
+def test_taut_z0_converges_to_log_profile(setup):
+    tb, params, cfg, step, env, fl1, frc = setup
+    u10 = jnp.full(NPTS, 10.0)
+    ustar, z0, z0b, chrnck = taut_z0(
+        u10, frc["wdwave"], jnp.zeros(NPTS), jnp.zeros(NPTS),
+        jnp.full(NPTS, 0.3), params)
+    # u* should satisfy the neutral log law u10 = u*/κ·log(XNLEV/z0tot)
+    z0vis = pp.RNUM / ustar
+    resid = ustar - pp.XKAPPA * u10 / jnp.log(pp.XNLEV / (z0 + z0vis))
+    np.testing.assert_allclose(np.asarray(resid), 0.0, atol=1e-6)
+    # plausible range for 10 m/s wind
+    assert 0.3 < float(ustar[0]) < 0.5
+    assert float(chrnck[0]) >= params.alphamin
+
+
+def test_implsch_step_runs_and_is_finite(setup):
+    tb, params, cfg, step, env, fl1, frc = setup
+    ss = _zero_stress_state()
+    fl1_new, state = step(fl1, env, frc, **ss)
+    assert fl1_new.shape == fl1.shape
+    assert bool(jnp.all(jnp.isfinite(fl1_new)))
+    assert bool(jnp.all(fl1_new >= 0.0))
+    for k in ("ufric", "tauw", "emean", "fmean"):
+        assert bool(jnp.all(jnp.isfinite(state[k]))), k
+    # wave stress below total stress
+    assert bool(jnp.all(state["tauw"] <= state["ufric"] ** 2 * 1.0001))
+
+
+def test_implsch_grows_young_windsea(setup):
+    tb, params, cfg, step, env, fl1, frc = setup
+    # young sea: low energy, high peak freq, strong wind
+    f2d = jonswap(tb, hs=0.5, fp=0.2)
+    fl1_y = jnp.asarray(np.broadcast_to(f2d[:, :, None], (NANG, NFRE, NPTS)))
+    ss = _zero_stress_state()
+    em0 = float(means_mod.semean(fl1_y, tb)[0])
+    fl1_new, state = step(fl1_y, env, frc, **ss)
+    em1 = float(state["emean"][0])
+    assert em1 > em0, f"windsea should grow: {em0} -> {em1}"
+
+
+def test_implsch_decays_without_wind(setup):
+    tb, params, cfg, step, env, fl1, frc = setup
+    frc_calm = dict(frc)
+    frc_calm["wswave"] = jnp.full(NPTS, 1.0)   # WSPMIN floor
+    ss = _zero_stress_state()
+    ss["ufric"] = jnp.full(NPTS, 0.03)
+    em0 = float(means_mod.semean(fl1, tb)[0])
+    fl1_new, state = step(fl1, env, frc_calm, **ss)
+    em1 = float(state["emean"][0])
+    assert em1 < em0, f"sea should decay in calm wind: {em0} -> {em1}"
+
+
+def test_implsch_jits_and_matches_eager(setup):
+    tb, params, cfg, step, env, fl1, frc = setup
+    ss = _zero_stress_state()
+    jit_fl1, jit_state = step(fl1, env, frc, **ss)
+    # determinism: two identical jitted calls agree bitwise
+    jit_fl1b, jit_state_b = step(fl1, env, frc, **ss)
+    np.testing.assert_array_equal(np.asarray(jit_fl1), np.asarray(jit_fl1b))
+    np.testing.assert_array_equal(
+        np.asarray(jit_state["emean"]), np.asarray(jit_state_b["emean"]))
+
+
+def test_snonlin_conserves_energy_roughly(setup):
+    """DIA conserves total energy/action in deep water (within tail leakage)."""
+    from ecwam_tpu.ops.physics import dia as dia_mod
+    tb, params, cfg, step, env, fl1, frc = setup
+    zero = jnp.zeros_like(fl1)
+    akmean = means_mod.fkmean(fl1, env["wavnum"], tb)[3]
+    fld, sl = dia_mod.snonlin(
+        fl1, zero, zero, env["wavnum"], env["depth"], akmean, tb, cfg.dia,
+        isnonlin=1)
+    # integrated S_nl (energy) should be small relative to a typical term size
+    dfim = jnp.asarray(tb.dfim)[None, :, None]
+    tot = float(jnp.sum(sl[:, :, 0] * dfim[:, :, 0]))
+    scale = float(jnp.sum(jnp.abs(sl[:, :, 0]) * dfim[:, :, 0]))
+    assert scale > 0
+    assert abs(tot) / scale < 0.2, (tot, scale)
