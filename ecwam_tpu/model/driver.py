@@ -1,0 +1,139 @@
+"""Time-integration driver: the RUNWAM/WAMODEL equivalent.
+
+Host-side loop over advection steps with physics/wind/output cadences
+(/root/reference/src/ecwam/wamodel.F90:228-649, wamintgr.F90:94-186),
+14-character date bookkeeping (incdate.F90) via ``datetime``.
+
+The driver owns no numerics: it schedules the jitted step kernels from
+``stepper`` and hands forcing/outputs to pluggable providers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as _dt
+import time
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ecwam_tpu.model import stepper as stepper_mod
+from ecwam_tpu.model.setup import ModelSetup, pad_point_field
+from ecwam_tpu.ops.physics import means as means_mod
+
+DATE_FMT = "%Y%m%d%H%M%S"
+
+
+def parse_date(s: str) -> _dt.datetime:
+    """14-char YYYYMMDDHHMMSS (incdate.F90 convention)."""
+    return _dt.datetime.strptime(s, DATE_FMT)
+
+
+def format_date(d: _dt.datetime) -> str:
+    return d.strftime(DATE_FMT)
+
+
+@dataclasses.dataclass
+class StepTimers:
+    """TIME_PROPAG / TIME_PHYS split (runwam.F90:389-397)."""
+    propag: float = 0.0
+    phys: float = 0.0
+    steps: int = 0
+
+
+class WaveModel:
+    """Standalone wave model instance (single device or sharded).
+
+    ``forcing_provider(date) -> dict`` must return host arrays of shape
+    (n_real,) for keys wswave, wdwave, aird, wstar, cicover.
+    """
+
+    def __init__(self, setup: ModelSetup, forcing_provider: Callable,
+                 start_date: str | _dt.datetime, fl1=None, stress=None):
+        self.setup = setup
+        self.forcing_provider = forcing_provider
+        self.date = (parse_date(start_date) if isinstance(start_date, str)
+                     else start_date)
+        self.step_full, self.step_adv, self.step_phys = \
+            stepper_mod.make_step(setup)
+        self.frc = self._fetch_forcing(self.date)
+        if fl1 is None:
+            from ecwam_tpu.model import preset
+            f = preset.mstart(
+                setup.tb, np.asarray(self.frc["wswave"]),
+                np.asarray(self.frc["wdwave"]))
+            fl1 = jnp.asarray(f, setup.dtype)
+        self.fl1 = fl1
+        self.stress = stress or stepper_mod.initial_stress(setup, self.frc)
+        self.state = {}
+        self.timers = StepTimers()
+        self._phys_elapsed = 0.0
+
+    def _fetch_forcing(self, date):
+        raw = self.forcing_provider(format_date(date))
+        out = {}
+        for k in ("wswave", "wdwave", "aird", "wstar", "cicover"):
+            v = np.asarray(raw[k], dtype=np.float64)
+            out[k] = jnp.asarray(
+                pad_point_field(self.setup, v), self.setup.dtype)
+        # reference floors wind at WSPMIN (userin.F90:914-917)
+        out["wswave"] = jnp.maximum(out["wswave"], 1.0)
+        return out
+
+    def advance(self, n_steps: int = 1, wind_every: int | None = None):
+        """Advance ``n_steps`` advection steps of ``idelpro`` seconds.
+
+        Physics runs whenever the accumulated time reaches ``idelt``
+        (wamintgr.F90:117-146).  ``wind_every``: refresh forcing every N
+        steps (NEWWIND role); None = keep current forcing.
+        """
+        s = self.setup
+        for i in range(n_steps):
+            if wind_every and i > 0 and i % wind_every == 0:
+                self.frc = self._fetch_forcing(self.date)
+            t0 = time.perf_counter()
+            self._phys_elapsed += s.idelpro
+            if self._phys_elapsed >= s.idelt - 1e-6:
+                self.fl1, st = self.step_full(self.fl1, self.frc, self.stress)
+                self.stress = {k: st[k] for k in (
+                    "ufric", "tauw", "tauwdir", "z0m", "z0b", "chrnck")}
+                self.state = st
+                self._phys_elapsed = 0.0
+                jax.block_until_ready(self.fl1)
+                self.timers.phys += time.perf_counter() - t0
+            else:
+                self.fl1 = self.step_adv(self.fl1)
+                jax.block_until_ready(self.fl1)
+                self.timers.propag += time.perf_counter() - t0
+            self.timers.steps += 1
+            self.date += _dt.timedelta(seconds=s.idelpro)
+        return self
+
+    # ---- diagnostics -----------------------------------------------------
+    def swh(self) -> np.ndarray:
+        """Significant wave height over real sea points."""
+        em = means_mod.semean(self.fl1, self.setup.tb)
+        return np.asarray(4.0 * jnp.sqrt(em))[: self.setup.n_real]
+
+    def norms(self) -> dict:
+        """avg/min/max of SWH — the statistics.log contract
+        (outwnorm.F90:80-140)."""
+        swh = self.swh()
+        return dict(name="swh", date=format_date(self.date),
+                    average=float(swh.mean()), minimum=float(swh.min()),
+                    maximum=float(swh.max()), count=int(swh.size))
+
+
+def constant_wind_forcing(n_real: int, u10: float = 10.0,
+                          direction: float = 0.0):
+    """Simple uniform forcing provider for tests/benchmarks."""
+    def provider(date14: str):
+        return dict(
+            wswave=np.full(n_real, u10),
+            wdwave=np.full(n_real, direction),
+            aird=np.full(n_real, 1.225),
+            wstar=np.zeros(n_real),
+            cicover=np.zeros(n_real))
+    return provider

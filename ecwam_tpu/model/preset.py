@@ -1,0 +1,86 @@
+"""Cold-start initial spectra (the `ecwam-preset` equivalent).
+
+Re-derivations of:
+  - PEAK     fetch-law peak frequency / Phillips parameter
+             (/root/reference/src/ecwam/peak.F90:38-53, yowjons.F90:18-21)
+  - JONSWAP  1-D JONSWAP spectrum                (jonswap.F90:39-62)
+  - SPR      cos² directional spreading          (spr.F90:40-52)
+  - MSTART   assembly by start option IOPTI      (mstart.F90:49-80)
+
+Defaults follow the operational preset run script
+(share/ecwam/scripts/ecwam_run_preset.sh:153-206: IOPTI=1, ALFA=0.018,
+GAMMA=3.0, SA=0.07, SB=0.09, FETCH=50 km, FM=0.2 Hz).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ecwam_tpu.core import constants as c
+
+AJONS = 2.84             # fetch-law constants (yowjons.F90:18-21)
+BJONS = 0.033
+DJONS = -3.0 / 10.0
+EJONS = 2.0 / 3.0
+
+
+def peak(u10, fetch: float, fpmax: float):
+    """Fetch-limited peak frequency and alpha (peak.F90:38-53)."""
+    u10 = np.asarray(u10, dtype=np.float64)
+    windy = u10 > 0.1e-8
+    u = np.where(windy, u10, 1.0)
+    gxu = c.G * fetch / (u * u)
+    ug = c.G / u
+    fp = np.clip(AJONS * gxu**DJONS, 0.13, None)
+    fp = np.minimum(fp, fpmax / ug)
+    alphaj = np.maximum(BJONS * fp**EJONS, 0.0081)
+    return np.where(windy, fp * ug, 0.0), np.where(windy, alphaj, 0.0)
+
+
+def jonswap_1d(fr, fp, alphaj, zgamma: float, sa: float, sb: float):
+    """JONSWAP spectrum ET(pt, nfre) (jonswap.F90:39-62)."""
+    fr = np.asarray(fr)[None, :]
+    fp = np.asarray(fp)[:, None]
+    alphaj = np.asarray(alphaj)[:, None]
+    sigma = np.where(fr > fp, sb, sa)
+    active = (alphaj != 0.0) & (fp != 0.0)
+    fp_safe = np.where(fp == 0.0, 1.0, fp)
+    earg = np.minimum(0.5 * ((fr - fp_safe) / (sigma * fp_safe)) ** 2, 50.0)
+    fjon = zgamma ** np.exp(-earg)
+    fmpf = np.minimum(1.25 * (fp_safe / fr) ** 4, 50.0)
+    et = (alphaj / (fr**5 * c.ZPI4GM2)) * np.exp(-fmpf) * fjon
+    return np.where(active, et, 0.0)
+
+
+def spread(th, thetaq):
+    """cos² spreading ST(pt, nang) (spr.F90:40-52)."""
+    the = np.cos(th[None, :] - np.asarray(thetaq)[:, None])
+    st = (2.0 / c.PI) * the**2
+    st = np.where(st < 0.1e-8, 0.0, st)
+    return np.where(the > 0.0, st, 0.0)
+
+
+def mstart(tb, wswave, wdwave, *, iopti: int = 1,
+           fetch: float = 50000.0, frmax: float = 0.2,
+           alfa: float = 0.018, fm: float = 0.2, zgamma: float = 3.0,
+           sa: float = 0.07, sb: float = 0.09, thetaq: float = 0.0):
+    """Initial spectra fl1 (nang, nfre, npts) (mstart.F90:49-80)."""
+    npts = len(wswave)
+    if iopti == 1:
+        fp, alphaj = peak(wswave, fetch, frmax)
+        thes = np.asarray(wdwave)
+    elif iopti == 0:
+        fp = np.full(npts, fm)
+        alphaj = np.full(npts, alfa)
+        thes = np.full(npts, thetaq)
+    elif iopti == 2:
+        fp, alphaj = peak(wswave, fetch, frmax)
+        calm = np.asarray(wswave) <= 0.1e-8
+        fp = np.where(calm, fm, fp)
+        alphaj = np.where(calm, alfa, alphaj)
+        thes = np.where(calm, 0.0, np.asarray(wdwave))
+    else:
+        raise ValueError(f"IOPTI={iopti} not supported")
+    et = jonswap_1d(tb.fr, fp, alphaj, zgamma, sa, sb)   # (npts, nfre)
+    st = spread(tb.th, thes)                             # (npts, nang)
+    return np.transpose(st[:, :, None] * et[:, None, :], (1, 2, 0))

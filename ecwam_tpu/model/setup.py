@@ -1,0 +1,164 @@
+"""Model assembly: grid + spectra + physics + propagation in one object.
+
+Plays the role of the reference's init chain WVWAMINIT → MPDECOMP → WVALLOC →
+INITMDL (/root/reference/src/ecwam/runwam.F90:235-257, initmdl.F90) but as a
+single host-side builder producing static tables and device arrays.
+
+TPU specifics:
+  - the sea-point axis is padded to a multiple of ``pad_to`` (lane width);
+    padded points replicate point 0 (the reference's fictitious-point trick,
+    mchunk.F90:44-45) and are excluded from norms/outputs by ``n_real``.
+  - index ``n_pad`` is the land slot of the halo-extended arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+
+from ecwam_tpu.core import dispersion
+from ecwam_tpu.core import physparams as pp
+from ecwam_tpu.core.grid import (WaveGrid, SeaPointBlock, aqua_bathymetry,
+                                 build_sea_point_block, octahedral_grid,
+                                 regular_grid)
+from ecwam_tpu.core.spectral import SpectralTables, build_spectral_tables
+from ecwam_tpu.ops import propagation as prop
+from ecwam_tpu.ops.physics import implsch as impl
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSetup:
+    grid: WaveGrid
+    blk: SeaPointBlock
+    tb: SpectralTables
+    phys: impl.PhysicsConfig
+    stencil: prop.StencilTables
+    n_real: int
+    n_pad: int
+    idelpro: float            # advection timestep (s)
+    idelt: float              # physics timestep (s)
+    delpro_lf: float          # fast-wave substep (s); = idelpro if unused
+    ifrelfmax: int            # number of fast-wave frequencies (0 = none)
+    irefra: int
+    env: dict                 # device env arrays (padded, + _ext variants)
+    dtype: Any
+
+
+def _pad_indices(n_real: int, n_pad: int) -> np.ndarray:
+    idx = np.arange(n_pad)
+    idx[n_real:] = 0
+    return idx
+
+
+def _pad_stencil(st: prop.StencilTables, n_real: int,
+                 n_pad: int) -> prop.StencilTables:
+    """Extend stencil to the padded point count; padded points are isolated
+    (all neighbours = land) and the land slot moves to n_pad."""
+    def remap_idx(a, extra_shape):
+        out = np.full((n_pad,) + extra_shape, n_pad, dtype=a.dtype)
+        out[:n_real] = np.where(a == st.nland, n_pad, a)
+        return out
+
+    def pad_pt(a, fill_from=0):
+        out = np.empty((n_pad,) + a.shape[1:], dtype=a.dtype)
+        out[:n_real] = a
+        out[n_real:] = a[fill_from]
+        return out
+
+    def pad_freq_pt(a):
+        # (nfre, npts, …) → pad the point axis
+        out = np.empty((a.shape[0], n_pad) + a.shape[2:], dtype=a.dtype)
+        out[:, :n_real] = a
+        out[:, n_real:] = a[:, :1]
+        return out
+
+    return prop.StencilTables(
+        npts=n_pad, nland=n_pad,
+        klat=remap_idx(st.klat, (2, 2)), klon=remap_idx(st.klon, (2,)),
+        kcor=remap_idx(st.kcor, (4, 2)),
+        wlat=pad_pt(st.wlat), wlatm1=pad_pt(st.wlatm1),
+        wcor=pad_pt(st.wcor), wcorm1=pad_pt(st.wcorm1),
+        dp=pad_pt(st.dp),
+        zdello_pt=pad_pt(st.zdello_pt), xdella=st.xdella,
+        cosphm1_pt=pad_pt(st.cosphm1_pt), tanph_pt=pad_pt(st.tanph_pt),
+        obslat=pad_freq_pt(st.obslat), obslon=pad_freq_pt(st.obslon),
+        obscor=pad_freq_pt(st.obscor))
+
+
+def build_model(
+    *,
+    grid_name: str | None = None,
+    grid: WaveGrid | None = None,
+    bathy: np.ndarray | None = None,
+    nang: int = 12,
+    nfre: int = 25,
+    nfre_red: int | None = None,
+    idelpro: float = 900.0,
+    idelt: float = 900.0,
+    delpro_lf: float | None = None,
+    ifrelfmax: int = 0,
+    iphys: int = 1,
+    irefra: int = 0,
+    isnonlin: int = 1,
+    llgcbz0: bool = False,
+    llnormagam: bool = False,
+    pad_to: int = 128,
+    dtype=jnp.float32,
+    obstructions=None,
+) -> ModelSetup:
+    """Build a complete single-domain model."""
+    if grid is None:
+        if grid_name is None:
+            raise ValueError("need grid or grid_name")
+        if grid_name.startswith("O"):
+            grid = octahedral_grid(int(grid_name[1:]))
+        else:
+            grid = regular_grid(float(grid_name))
+    if bathy is None:
+        bathy = aqua_bathymetry(grid)
+    blk = build_sea_point_block(grid, bathy)
+    nfre_red = nfre_red or nfre
+
+    tb = build_spectral_tables(nang=nang, nfre=nfre, nfre_red=nfre_red)
+    params = pp.set_phys_params(iphys, nang=nang, llgcbz0=llgcbz0,
+                                llnormagam=llnormagam)
+    phys = impl.make_physics_config(tb, params, idelt, nfre_red=nfre_red,
+                                    isnonlin=isnonlin)
+
+    n_real = blk.nsea
+    n_pad = ((n_real + pad_to - 1) // pad_to) * pad_to
+
+    st = prop.build_stencil(grid, blk, nfre_red, obstructions=obstructions)
+    st = _pad_stencil(st, n_real, n_pad)
+
+    # env: padded depth fields + halo-extended (land slot) variants
+    depth = np.empty(n_pad)
+    depth[:n_real] = blk.depth
+    depth[n_real:] = blk.depth[0]
+    depth_ext = np.concatenate([depth, [dispersion.BATHYMAX]])
+    props_ext = dispersion.depth_properties(depth_ext, tb.fr)
+    env = {k: jnp.asarray(v.T[:, :n_pad], dtype)
+           for k, v in props_ext.items()}
+    env.update({f"{k}_ext": jnp.asarray(v.T, dtype)
+                for k, v in props_ext.items()})
+    env["depth"] = jnp.asarray(depth, dtype)
+    env["depth_ext"] = jnp.asarray(depth_ext, dtype)
+    env["emaxdpt"] = jnp.asarray(dispersion.depth_limited_energy(depth), dtype)
+
+    return ModelSetup(
+        grid=grid, blk=blk, tb=tb, phys=phys, stencil=st,
+        n_real=n_real, n_pad=n_pad,
+        idelpro=idelpro, idelt=idelt,
+        delpro_lf=delpro_lf or idelpro, ifrelfmax=ifrelfmax,
+        irefra=irefra, env=env, dtype=dtype)
+
+
+def pad_point_field(setup: ModelSetup, values: np.ndarray) -> np.ndarray:
+    """Pad a (…, n_real) host field to n_pad by replicating point 0."""
+    out = np.empty(values.shape[:-1] + (setup.n_pad,), dtype=values.dtype)
+    out[..., : setup.n_real] = values
+    out[..., setup.n_real:] = values[..., :1]
+    return out
