@@ -260,10 +260,11 @@ def _dir_selectors(tb):
     return east, north, kcr
 
 
-def ctuw_weights(delpro: float, st: StencilTables, tb,
+def ctuw_weights(delpro: float, st, tb,
                  cgroup_ext, omosnh2kd_ext=None, u_ext=None, v_ext=None,
                  *, irefra: int = 0, thdd=None, thdc=None, sdot=None,
-                 mstart: int = 0, mend: int | None = None):
+                 mstart: int = 0, mend: int | None = None,
+                 own: slice | None = None):
     """CTU weights on the sphere (ctuw.F90:90-745, ICASE=1 spherical).
 
     ``cgroup_ext`` is (nfre_red, npts+1).  Returns dict of weight arrays
@@ -277,14 +278,16 @@ def ctuw_weights(delpro: float, st: StencilTables, tb,
       cflfail (npts,) bool
     """
     dt = cgroup_ext.dtype
-    nf_all, npts1 = cgroup_ext.shape
-    npts = npts1 - 1
+    nf_all = cgroup_ext.shape[0]
+    npts = st.klon.shape[0]          # owned points (halo/land slots extra)
+    if own is None:
+        own = slice(0, npts)         # owned points lead the ext layout
     if mend is None:
         mend = nf_all
     nf = mend - mstart
     nang = tb.nang
 
-    cg = cgroup_ext[mstart:mend]                       # (nf, npts+1)
+    cg = cgroup_ext[mstart:mend]                       # (nf, npts_ext)
     sinth = jnp.asarray(tb.sinth, dt)[:, None, None]
     costh = jnp.asarray(tb.costh, dt)[:, None, None]
     east, north, kcr = _dir_selectors(tb)
@@ -302,17 +305,18 @@ def ctuw_weights(delpro: float, st: StencilTables, tb,
 
     # per-(ic) edge velocities → |displacement| split up/down stream
     adxp, dxup, dxdw, adyp, dyup, dydw = [], [], [], [], [], []
+    cg_own = cg[:, own]
     for ic in range(2):
         cg_lon = cg[:, st.klon[:, ic]]                 # (nf, npts)
-        cgx = 0.5 * (cg[:, :npts] + cg_lon) * sinth * cosphm1[None]
+        cgx = 0.5 * (cg_own + cg_lon) * sinth * cosphm1[None]
         cgyp = (wlat[None, :, ic] * cg[:, st.klat[:, ic, 0]]
                 + (1.0 - wlat[None, :, ic]) * cg[:, st.klat[:, ic, 1]])
-        cgy = 0.5 * (cg[:, :npts] + dp[None, :, ic] * cgyp) * costh
+        cgy = 0.5 * (cg_own + dp[None, :, ic] * cgyp) * costh
         if have_cur:
-            uu = u_ext[None, None, :npts] * cosphm1[None]
+            uu = u_ext[None, None, own] * cosphm1[None]
             urel = cgx + uu
             issu = (jnp.sign(urel) == jnp.sign(cgx)).astype(dt)
-            vv = (v_ext[None, None, :npts]
+            vv = (v_ext[None, None, own]
                   * 0.5 * (1.0 + dp[:, ic][None, None, :]))
             vrel = cgy + vv
             issv = (jnp.sign(vrel) == jnp.sign(cgy)).astype(dt)
@@ -399,13 +403,14 @@ def ctuw_weights(delpro: float, st: StencilTables, tb,
     drgp = tanph * sp
     drgm = tanph * sm
 
-    dthp = drgp * cg[None, :, :npts]
-    dthm = drgm * cg[None, :, :npts]
+    dthp = drgp * cg_own[None]
+    dthm = drgm * cg_own[None]
     if irefra == 1 and thdd is not None:
         drdp = (thdd[:, None, :] + thdd[kp1][:, None, :]) * delth0
         drdm = (thdd[:, None, :] + thdd[km1][:, None, :]) * delth0
-        dthp = dthp + omosnh2kd_ext[None, mstart:mend, :npts] * drdp
-        dthm = dthm + omosnh2kd_ext[None, mstart:mend, :npts] * drdm
+        omos_own = omosnh2kd_ext[mstart:mend, own]
+        dthp = dthp + omos_own[None] * drdp
+        dthm = dthm + omos_own[None] * drdm
     if irefra in (2, 3) and thdc is not None:
         dthp = dthp + (thdc[:, None, :] + thdc[kp1][:, None, :]) * delth0
         dthm = dthm + (thdc[:, None, :] + thdc[km1][:, None, :]) * delth0
@@ -446,17 +451,20 @@ def ctuw_weights(delpro: float, st: StencilTables, tb,
                 mstart=mstart, mend=mend)
 
 
-def propags2(f1_ext, weights, st: StencilTables, tb):
+def propags2(f1_ext, weights, st, tb, *, own: slice | None = None):
     """CTU stencil update (propags2.F90:49-130, general branch).
 
-    ``f1_ext`` is (nang, nf, npts+1) over the same frequency window the
-    weights were built for.  Returns (nang, nf, npts).
+    ``f1_ext`` is (nang, nf, npts_ext) over the same frequency window the
+    weights were built for; ``own`` selects the owned points (default: all
+    but the trailing land slot).  Returns (nang, nf, npts_owned).
     """
     nang, nf, npts1 = f1_ext.shape
-    npts = npts1 - 1
+    npts = st.klon.shape[0]
+    if own is None:
+        own = slice(0, npts)
     _, _, kcr = _dir_selectors(tb)
 
-    f1 = f1_ext[:, :, :npts]
+    f1 = f1_ext[:, :, own]
     out = (1.0 - weights["sumwn"]) * f1
 
     # longitudes
@@ -468,10 +476,10 @@ def propags2(f1_ext, weights, st: StencilTables, tb):
             out = out + (weights["wlatn"][..., ic, icl]
                          * f1_ext[:, :, st.klat[:, ic, icl]])
     # corners: logical slot icr gathers physical corner kcr[k, icr]
-    kcor_k = st.kcor[:, kcr, :]          # (npts, nang, 4, 2)
+    kcor_k = jnp.asarray(st.kcor)[:, kcr, :]     # (npts, nang, 4, 2)
     for icr in range(4):
         for icl in range(2):
-            idx = jnp.asarray(kcor_k[:, :, icr, icl].T)   # (nang, npts)
+            idx = jnp.transpose(kcor_k[:, :, icr, icl])   # (nang, npts)
             gathered = jnp.take_along_axis(
                 f1_ext, idx[:, None, :], axis=2)
             out = out + weights["wcorn"][..., icr, icl] * gathered

@@ -12,7 +12,7 @@ from ecwam_tpu.model.driver import WaveModel, constant_wind_forcing
 def model():
     ms = setup_mod.build_model(
         grid_name="6.0", nang=12, nfre=25,
-        idelpro=900.0, idelt=900.0, pad_to=8, dtype=jnp.float64)
+        idelpro=900.0, idelt=900.0, pad_to=8, dtype=jnp.float32)
     frc = constant_wind_forcing(ms.n_real, u10=12.0, direction=np.pi / 2)
     return WaveModel(ms, frc, "20230101000000")
 

@@ -40,35 +40,40 @@ def setup():
     params = pp.set_phys_params(iphys=1, nang=NANG)
     cfg = impl.make_physics_config(tb, params, idelt=900.0)
     cfg_step = jax.jit(lambda *a, **kw: impl.implsch(cfg, *a, **kw))
+    # f32: this CPU/XLA build compiles f64 ~50x slower, and f32 is the
+    # TPU production dtype anyway
+    DT = jnp.float32
     depth = np.full(NPTS, dispersion.BATHYMAX)
     props = dispersion.depth_properties(depth, tb.fr)
-    env = {k: jnp.asarray(v.T) for k, v in props.items()}
-    env["depth"] = jnp.asarray(depth)
-    env["emaxdpt"] = jnp.asarray(dispersion.depth_limited_energy(depth))
+    env = {k: jnp.asarray(v.T, DT) for k, v in props.items()}
+    env["depth"] = jnp.asarray(depth, DT)
+    env["emaxdpt"] = jnp.asarray(dispersion.depth_limited_energy(depth), DT)
     f2d = jonswap(tb)
-    fl1 = jnp.asarray(np.broadcast_to(f2d[:, :, None], (NANG, NFRE, NPTS)))
+    fl1 = jnp.asarray(np.broadcast_to(f2d[:, :, None], (NANG, NFRE, NPTS)), DT)
     frc = dict(
-        wswave=jnp.full(NPTS, 10.0),
-        wdwave=jnp.zeros(NPTS),
-        aird=jnp.full(NPTS, 1.225),
-        wstar=jnp.zeros(NPTS),
-        cicover=jnp.zeros(NPTS),
+        wswave=jnp.full(NPTS, 10.0, DT),
+        wdwave=jnp.zeros(NPTS, DT),
+        aird=jnp.full(NPTS, 1.225, DT),
+        wstar=jnp.zeros(NPTS, DT),
+        cicover=jnp.zeros(NPTS, DT),
     )
     return tb, params, cfg, cfg_step, env, fl1, frc
 
 
 def _zero_stress_state():
-    z = jnp.zeros(NPTS)
-    return dict(ufric=jnp.full(NPTS, 0.3), tauw=z, tauwdir=z,
-                z0m=jnp.full(NPTS, 1e-4), z0b=z, chrnck=jnp.full(NPTS, 0.018))
+    DT = jnp.float32
+    z = jnp.zeros(NPTS, DT)
+    return dict(ufric=jnp.full(NPTS, 0.3, DT), tauw=z, tauwdir=z,
+                z0m=jnp.full(NPTS, 1e-4, DT), z0b=z,
+                chrnck=jnp.full(NPTS, 0.018, DT))
 
 
 def test_taut_z0_converges_to_log_profile(setup):
     tb, params, cfg, step, env, fl1, frc = setup
-    u10 = jnp.full(NPTS, 10.0)
+    u10 = jnp.full(NPTS, 10.0, jnp.float64)
+    zz = jnp.zeros(NPTS, jnp.float64)
     ustar, z0, z0b, chrnck = taut_z0(
-        u10, frc["wdwave"], jnp.zeros(NPTS), jnp.zeros(NPTS),
-        jnp.full(NPTS, 0.3), params)
+        u10, zz, zz, zz, jnp.full(NPTS, 0.3, jnp.float64), params)
     # u* should satisfy the neutral log law u10 = u*/κ·log(XNLEV/z0tot)
     z0vis = pp.RNUM / ustar
     resid = ustar - pp.XKAPPA * u10 / jnp.log(pp.XNLEV / (z0 + z0vis))
@@ -106,9 +111,9 @@ def test_implsch_grows_young_windsea(setup):
 def test_implsch_decays_without_wind(setup):
     tb, params, cfg, step, env, fl1, frc = setup
     frc_calm = dict(frc)
-    frc_calm["wswave"] = jnp.full(NPTS, 1.0)   # WSPMIN floor
+    frc_calm["wswave"] = jnp.full(NPTS, 1.0, jnp.float32)   # WSPMIN floor
     ss = _zero_stress_state()
-    ss["ufric"] = jnp.full(NPTS, 0.03)
+    ss["ufric"] = jnp.full(NPTS, 0.03, jnp.float32)
     em0 = float(means_mod.semean(fl1, tb)[0])
     fl1_new, state = step(fl1, env, frc_calm, **ss)
     em1 = float(state["emean"][0])
