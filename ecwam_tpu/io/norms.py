@@ -1,0 +1,95 @@
+"""statistics.log — the validation norms contract.
+
+Writes per-date avg/min/max of each output field in decimal + IEEE-754 hex,
+whitespace-separated exactly as parsed by the reference validator
+(/root/reference/share/ecwam/scripts/ecwam_validation.py:38-50; produced by
+outwnorm.F90:112 format).  Also provides the comparator used against the
+reference YAML ``validation:`` blocks.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# output-parameter index in the reference JPPFLAG table (yowcout.F90);
+# used only for the cosmetic IDX column
+PARAM_INDEX = {"swh": 1, "mwd": 2, "mwp": 3, "ustar": 4, "dwi": 5,
+               "pp1d": 6, "cdww": 7, "tauw_over_ust2": 8, "mss": 9,
+               "wind": 10, "mwp1": 20, "mwp2": 21}
+
+
+def ieee_hex(x: float) -> str:
+    """'0x' + big-endian IEEE-754 double bit pattern (outwnorm.F90:112)."""
+    return "0x" + struct.pack(">d", float(x)).hex().upper()
+
+
+def norm_entry(name: str, date14: str, values: np.ndarray,
+               missing_mask=None) -> dict:
+    v = np.asarray(values, dtype=np.float64)
+    if missing_mask is not None:
+        v = v[~missing_mask]
+    return dict(
+        time=date14, index=PARAM_INDEX.get(name, 0), name=name,
+        average=float(v.mean()), minimum=float(v.min()),
+        maximum=float(v.max()), non_missing_points=int(v.size))
+
+
+def format_line(e: dict) -> str:
+    return (f"{e['time']} {e['index']} {e['name']} "
+            f"{e['average']:.16E} {ieee_hex(e['average'])} "
+            f"{e['minimum']:.16E} {ieee_hex(e['minimum'])} "
+            f"{e['maximum']:.16E} {ieee_hex(e['maximum'])} "
+            f"{e['non_missing_points']}")
+
+
+class StatisticsLog:
+    """Accumulates norm entries and writes statistics.log."""
+
+    def __init__(self):
+        self.entries: list[dict] = []
+
+    def add(self, name, date14, values, missing_mask=None):
+        self.entries.append(norm_entry(name, date14, values, missing_mask))
+
+    def write(self, path: str):
+        with open(path, "w") as f:
+            f.write("# DATE IDX NAME AVERAGE(DEC,HEX) MINIMUM(DEC,HEX) "
+                    "MAXIMUM(DEC,HEX) NON_MISSING_POINTS\n")
+            for e in self.entries:
+                f.write(format_line(e) + "\n")
+
+    def filter(self, **kw):
+        out = [e for e in self.entries
+               if all(e.get(k) == v for k, v in kw.items())]
+        return out
+
+
+def validate(entries: list[dict], validation_list: list[dict]) -> list[dict]:
+    """Compare entries against a reference YAML validation block
+    (tests/etopo1_oper_an_fc_O48.yml:52-116 schema).
+
+    Returns a list of failure dicts (empty = pass).
+    """
+    failures = []
+    for spec in validation_list:
+        name = spec["name"]
+        t14 = str(spec["time"]).replace("-", "").replace(":", "").replace(
+            " ", "")
+        matches = [e for e in entries
+                   if e["name"] == name and e["time"] == t14]
+        if not matches:
+            failures.append(dict(spec=spec, reason="no matching entry"))
+            continue
+        e = matches[-1]
+        rtol = float(spec.get("relative_tolerance", 1e-6))
+        for key in ("average", "minimum", "maximum"):
+            if key in spec:
+                ref = float(spec[key])
+                got = e[key]
+                if abs(got - ref) > rtol * abs(ref):
+                    failures.append(dict(
+                        spec=spec, reason=f"{key}: got {got}, want {ref} "
+                        f"(rtol {rtol})"))
+    return failures
