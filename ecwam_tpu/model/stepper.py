@@ -5,14 +5,18 @@ One advection step (/root/reference/src/ecwam/wamintgr.F90:94-186):
     sub-stepping for m < ifrelfmax (propag_wam.F90:247-313)
   - semi-implicit physics when the physics date is due
 
-Weights are precomputed once (depth/current independent runs) exactly as the
-reference caches them behind LUPDTWGHT (propag_wam.F90:221-236).
+Weights are precomputed once on device (the reference caches them behind
+LUPDTWGHT, propag_wam.F90:221-236).  All large arrays — weights, stencil
+index tables, env fields — are passed as jit *arguments*, never closed
+over: closure constants are embedded into the serialized HLO, which breaks
+large grids (and bloats compile time).
 """
 
 from __future__ import annotations
 
-import functools
+from types import SimpleNamespace
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -20,23 +24,30 @@ from ecwam_tpu.model.setup import ModelSetup
 from ecwam_tpu.ops import propagation as prop
 from ecwam_tpu.ops.physics import implsch as impl
 
+ENV_KEYS = ("wavnum", "cinv", "cgroup", "xk2cg", "omosnh2kd", "stokfac",
+            "depth", "emaxdpt")
 
-def make_weights(setup: ModelSetup):
-    """CTUWUPDT equivalent: weights for the main band and, if configured,
-    the fast-wave band (ctuwupdt.F90:185-215)."""
-    cg_ext = setup.env["cgroup_ext"][: setup.tb.nfre_red]
-    if setup.ifrelfmax > 0:
-        w_lf = prop.ctuw_weights(
-            setup.delpro_lf, setup.stencil, setup.tb, cg_ext,
-            mstart=0, mend=setup.ifrelfmax, irefra=setup.irefra)
-        w_hf = prop.ctuw_weights(
-            setup.idelpro, setup.stencil, setup.tb, cg_ext,
-            mstart=setup.ifrelfmax, mend=setup.tb.nfre_red,
-            irefra=setup.irefra)
-        return (w_lf, w_hf)
-    w = prop.ctuw_weights(setup.idelpro, setup.stencil, setup.tb, cg_ext,
-                          irefra=setup.irefra)
-    return (w,)
+
+def stencil_device_arrays(setup: ModelSetup) -> dict:
+    """Stencil tables as device arrays (indices int32, weights model dtype)."""
+    st = setup.stencil
+    dt = setup.dtype
+    return dict(
+        klat=jnp.asarray(st.klat, jnp.int32),
+        klon=jnp.asarray(st.klon, jnp.int32),
+        kcor=jnp.asarray(st.kcor, jnp.int32),
+        wlat=jnp.asarray(st.wlat, dt), wcor=jnp.asarray(st.wcor, dt),
+        dp=jnp.asarray(st.dp, dt),
+        zdello_pt=jnp.asarray(st.zdello_pt, dt),
+        cosphm1_pt=jnp.asarray(st.cosphm1_pt, dt),
+        tanph_pt=jnp.asarray(st.tanph_pt, dt),
+        obslat=jnp.asarray(st.obslat, dt),
+        obslon=jnp.asarray(st.obslon, dt),
+        obscor=jnp.asarray(st.obscor, dt))
+
+
+def _st_ns(st_a: dict, xdella: float) -> SimpleNamespace:
+    return SimpleNamespace(xdella=xdella, **st_a)
 
 
 def _with_land(f, dtype):
@@ -44,15 +55,28 @@ def _with_land(f, dtype):
         [f, jnp.zeros(f.shape[:-1] + (1,), dtype)], axis=-1)
 
 
-def propagate(setup: ModelSetup, weights, fl1):
+def _compute_weights(setup: ModelSetup, st, cg_ext):
+    """CTUWUPDT equivalent (ctuwupdt.F90:185-215)."""
+    if setup.ifrelfmax > 0:
+        w_lf = prop.ctuw_weights(
+            setup.delpro_lf, st, setup.tb, cg_ext,
+            mstart=0, mend=setup.ifrelfmax, irefra=setup.irefra)
+        w_hf = prop.ctuw_weights(
+            setup.idelpro, st, setup.tb, cg_ext,
+            mstart=setup.ifrelfmax, mend=setup.tb.nfre_red,
+            irefra=setup.irefra)
+        return (w_lf, w_hf)
+    w = prop.ctuw_weights(setup.idelpro, st, setup.tb, cg_ext,
+                          irefra=setup.irefra)
+    return (w,)
+
+
+def propagate(setup: ModelSetup, weights, fl1, st):
     """One full advection step over all sub-bands (propag_wam.F90:240-330).
 
-    ``fl1`` is (nang, nfre, n_pad); only the first nfre_red frequencies
-    advect (see SURVEY §5.6: physics integrates all NFRE, advection only
-    NFRE_RED).
-    """
+    Only the first nfre_red frequencies advect (SURVEY §5.6: physics
+    integrates all NFRE, advection only NFRE_RED)."""
     nfre_red = setup.tb.nfre_red
-    st = setup.stencil
     tb = setup.tb
     if setup.ifrelfmax > 0:
         w_lf, w_hf = weights
@@ -74,28 +98,43 @@ def propagate(setup: ModelSetup, weights, fl1):
 
 
 def make_step(setup: ModelSetup):
-    """Build the jitted step functions.
+    """Build jitted step functions.
 
-    Returns (step_full, step_adv):
-      step_full(fl1, frc, stress) → (fl1, state)   advection + physics
-      step_adv(fl1)               → fl1            advection only
+    Returns (step_full, step_adv, step_phys); each takes only the dynamic
+    state — weights/stencil/env ride along as bound jit arguments.
     """
-    weights = make_weights(setup)
+    st_arrays = stencil_device_arrays(setup)
+    xdella = setup.stencil.xdella
+    env = {k: setup.env[k] for k in ENV_KEYS}
+    cg_ext = setup.env["cgroup_ext"][: setup.tb.nfre_red]
 
     @jax.jit
-    def step_adv(fl1):
-        return propagate(setup, weights, fl1)
+    def compute_weights(st_a, cg_ext):
+        return _compute_weights(setup, _st_ns(st_a, xdella), cg_ext)
+
+    weights = compute_weights(st_arrays, cg_ext)
 
     @jax.jit
+    def _adv(fl1, weights, st_a):
+        return propagate(setup, weights, fl1, _st_ns(st_a, xdella))
+
+    @jax.jit
+    def _full(fl1, frc, stress, weights, st_a, env):
+        fl1 = propagate(setup, weights, fl1, _st_ns(st_a, xdella))
+        return impl.implsch(setup.phys, fl1, env, frc, **stress)
+
+    @jax.jit
+    def _phys(fl1, frc, stress, env):
+        return impl.implsch(setup.phys, fl1, env, frc, **stress)
+
     def step_full(fl1, frc, stress):
-        fl1 = propagate(setup, weights, fl1)
-        fl1, state = impl.implsch(setup.phys, fl1, setup.env, frc, **stress)
-        return fl1, state
+        return _full(fl1, frc, stress, weights, st_arrays, env)
 
-    @jax.jit
+    def step_adv(fl1):
+        return _adv(fl1, weights, st_arrays)
+
     def step_phys(fl1, frc, stress):
-        fl1, state = impl.implsch(setup.phys, fl1, setup.env, frc, **stress)
-        return fl1, state
+        return _phys(fl1, frc, stress, env)
 
     return step_full, step_adv, step_phys
 

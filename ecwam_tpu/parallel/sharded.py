@@ -169,9 +169,20 @@ def build_sharded_model(setup: ModelSetup, mesh: Mesh) -> ShardedModel:
         out_specs=(specs_pt_last, state_specs),
         check_vma=False)
 
-    @jax.jit
+    # pre-place the static tables (jit args, not closure constants — large
+    # constants would be embedded in the serialized HLO)
+    def put(tree, specs):
+        return {k: jax.device_put(np.asarray(v),
+                                  NamedSharding(mesh, specs[k]))
+                for k, v in tree.items()}
+
+    stencil_dev = put(stencil_args, stencil_specs)
+    env_dev = put(env, env_specs)
+
+    _jit_step = jax.jit(mapped)
+
     def step_full(fl1, frc, stress):
-        return mapped(fl1, frc, stress, stencil_args, env)
+        return _jit_step(fl1, frc, stress, stencil_dev, env_dev)
 
     return ShardedModel(
         setup=setup, mesh=mesh, sharded_stencil=ss,
