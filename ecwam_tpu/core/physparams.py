@@ -82,6 +82,11 @@ class PhysParams:
     swellf7: float
     swellf7m1: float
     ssdsc5: float
+    # fully-developed-sea empirical curve (yowaltas, setwavphys.F90:103-107,
+    # 193-197); used by the WNFLUXES sea-ice branch
+    egrcrv: float = 1065.0
+    afcrv: float = 2.453e-4
+    bfcrv: float = -3.1236
 
     # Derived wind-input constants (init_x0tauhf.F90:65-69)
     betamaxoxkappa2: float = dataclasses.field(init=False)
@@ -127,6 +132,7 @@ def set_phys_params(
             # Ardhuin-only knobs: keep iphys=1 defaults; unused when iphys=0
             z0tubmax=0.0005, z0rat=0.04, swellf4=1.5e5, swellf7=3.6e5,
             swellf7m1=1.0 / 3.6e5, ssdsc5=0.0,
+            egrcrv=1108.0, afcrv=4.0e-4, bfcrv=-3.0,
         )
         if llgcbz0:
             return PhysParams(

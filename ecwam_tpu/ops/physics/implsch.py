@@ -29,10 +29,12 @@ from ecwam_tpu.core import constants as c
 from ecwam_tpu.core import physparams as pp
 from ecwam_tpu.ops.physics import airsea as airsea_mod
 from ecwam_tpu.ops.physics import dia as dia_mod
+from ecwam_tpu.ops.physics import fluxes as fluxes_mod
 from ecwam_tpu.ops.physics import means as means_mod
 from ecwam_tpu.ops.physics import sdissip as sdissip_mod
 from ecwam_tpu.ops.physics import shallow as shallow_mod
 from ecwam_tpu.ops.physics import sinput as sinput_mod
+from ecwam_tpu.ops.physics import stokes as stokes_mod
 from ecwam_tpu.ops.physics import stress as stress_mod
 from ecwam_tpu.ops.physics import tables as tables_mod
 from ecwam_tpu.ops.physics.tail_ice import FLMIN, imphftail, setice
@@ -58,6 +60,11 @@ class PhysicsConfig:
     licerun: bool = True
     lmaskice: bool = True
     lciscal: bool = False
+    lcflx: bool = True        # compute ocean fluxes (implsch.F90:187 LCFLX)
+    lwvflx_snl: bool = True   # include SNL in the flux source (mpuserin:715)
+    lwamrsetci: bool = True   # sea-ice flux adjustments (mpuserin.F90:790)
+    lstokes: bool = True      # surface Stokes drift (STOKESTRN)
+    lstrn: bool = False       # sea-ice mean-square strain (CIMSSTRN)
 
 
 def make_physics_config(tables, params: pp.PhysParams, idelt: float,
@@ -182,9 +189,16 @@ def implsch(cfg: PhysicsConfig, fl1, env, frc,
         fld, sl = sdissip_mod.sdissip_jan(
             fl1, fld, sl, env["wavnum"], emean, f1mean, xkmean, tb, params)
 
+    # save the flux-relevant source contribution (implsch.F90:281-306)
+    ssource = sl if (cfg.lcflx and not cfg.lwvflx_snl) else None
+
     fld, sl = dia_mod.snonlin(
         fl1, fld, sl, env["wavnum"], env["depth"], akmean, tb, cfg.dia,
         isnonlin=cfg.isnonlin)
+
+    if cfg.lcflx and cfg.lwvflx_snl:
+        # modulate by the implicit factor (implsch.F90:297-305)
+        ssource = sl / jnp.maximum(1.0 - delt5 * fld, 1.0)
 
     fld, sl = shallow_mod.sdiwbk(
         fl1, fld, sl, env["depth"], env["emaxdpt"], emean, f1mean,
@@ -208,7 +222,18 @@ def implsch(cfg: PhysicsConfig, fl1, env, frc,
     fl1 = fl1 + jnp.sign(gtemp2) * flhab
     fl1 = jnp.maximum(fl1, flm[:, None, :])
     flmax = jnp.asarray(_flmax(tb, params), dt)[None, :, None]
+    if ssource is not None:
+        # cap contribution enters the flux source (implsch.F90:375,390)
+        ssource = ssource + deltm * jnp.minimum(flmax - fl1, 0.0)
     fl1 = jnp.minimum(fl1, flmax)
+
+    flux_diag = {}
+    if cfg.lcflx:
+        flux_diag = fluxes_mod.wnfluxes(
+            ssource, env["cinv"], st["rhowgdfth"], frc["cicover"],
+            st["phiwa"], emean, f1mean, frc["wswave"], frc["wdwave"],
+            ufric, frc["aird"], tb, params,
+            licerun=cfg.licerun, lwamrsetci=cfg.lwamrsetci)
 
     emean, fmean, f1mean, akmean, xkmean = means_mod.fkmean(
         fl1, env["wavnum"], tb)
@@ -227,7 +252,15 @@ def implsch(cfg: PhysicsConfig, fl1, env, frc,
         chrnck=chrnck, mij=mij, xllws=xllws, phiwa=st["phiwa"],
         emean=emean, fmean=fmean, f1mean=f1mean, akmean=akmean,
         xkmean=xkmean, emeanws=emeanws, fmeanws=fmeanws,
-        wsemean=wsemean, wsfmean=wsfmean)
+        wsemean=wsemean, wsfmean=wsfmean, **flux_diag)
+
+    if cfg.lstokes:
+        cithick = frc.get("cithick", jnp.zeros_like(frc["cicover"]))
+        state.update(stokes_mod.stokestrn(
+            fl1, env["wavnum"], env["stokfac"], env["depth"],
+            frc["wswave"], frc["wdwave"], frc["cicover"], cithick, tb,
+            licerun=cfg.licerun, lwamrsetci=cfg.lwamrsetci,
+            lstrn=cfg.lstrn))
     return fl1, state
 
 

@@ -159,7 +159,13 @@ def build_sharded_model(setup: ModelSetup, mesh: Mesh) -> ShardedModel:
     state_specs = {k: pt for k in (
         "ufric", "tauw", "tauwdir", "z0m", "z0b", "chrnck", "mij",
         "phiwa", "emean", "fmean", "f1mean", "akmean", "xkmean",
-        "emeanws", "fmeanws", "wsemean", "wsfmean")}
+        "emeanws", "fmeanws", "wsemean", "wsfmean",
+        # WNFLUXES / STOKESTRN diagnostics — all point fields
+        "tauxd", "tauyd", "tauocxd", "tauocyd", "tauoc",
+        "phiocd", "phieps", "phiaw", "em_oc", "f1_oc",
+        "ustokes", "vstokes")}
+    if setup.phys.lstrn:
+        state_specs["strnms"] = pt
     state_specs["xllws"] = specs_pt_last
 
     mapped = jax.shard_map(
