@@ -108,8 +108,13 @@ def build_model(
     pad_to: int = 128,
     dtype=jnp.float32,
     obstructions=None,
+    currents: tuple | None = None,
 ) -> ModelSetup:
-    """Build a complete single-domain model."""
+    """Build a complete single-domain model.
+
+    ``currents``: optional (u, v) surface-current fields over the sea
+    points (n_real,), used when ``irefra`` ∈ {2, 3} (GETCURR equivalent).
+    """
     if grid is None:
         if grid_name is None:
             raise ValueError("need grid or grid_name")
@@ -147,6 +152,19 @@ def build_model(
     env["depth"] = jnp.asarray(depth, dtype)
     env["depth_ext"] = jnp.asarray(depth_ext, dtype)
     env["emaxdpt"] = jnp.asarray(dispersion.depth_limited_energy(depth), dtype)
+
+    # surface currents (zero = no current; land slot zero)
+    if irefra in (2, 3) and ifrelfmax:
+        raise NotImplementedError(
+            "current refraction + fast-wave substepping not supported")
+    uc = np.zeros(n_pad + 1)
+    vc = np.zeros(n_pad + 1)
+    if currents is not None:
+        uc[:n_real], vc[:n_real] = currents[0], currents[1]
+    env["ucur_ext"] = jnp.asarray(uc, dtype)
+    env["vcur_ext"] = jnp.asarray(vc, dtype)
+    env["ucur"] = env["ucur_ext"][:n_pad]
+    env["vcur"] = env["vcur_ext"][:n_pad]
 
     return ModelSetup(
         grid=grid, blk=blk, tb=tb, phys=phys, stencil=st,

@@ -55,20 +55,47 @@ def _with_land(f, dtype):
         [f, jnp.zeros(f.shape[:-1] + (1,), dtype)], axis=-1)
 
 
-def _compute_weights(setup: ModelSetup, st, cg_ext):
-    """CTUWUPDT equivalent (ctuwupdt.F90:185-215)."""
-    if setup.ifrelfmax > 0:
-        w_lf = prop.ctuw_weights(
-            setup.delpro_lf, st, setup.tb, cg_ext,
-            mstart=0, mend=setup.ifrelfmax, irefra=setup.irefra)
-        w_hf = prop.ctuw_weights(
-            setup.idelpro, st, setup.tb, cg_ext,
-            mstart=setup.ifrelfmax, mend=setup.tb.nfre_red,
-            irefra=setup.irefra)
-        return (w_lf, w_hf)
-    w = prop.ctuw_weights(setup.idelpro, st, setup.tb, cg_ext,
-                          irefra=setup.irefra)
-    return (w,)
+def _compute_weights(setup: ModelSetup, st, cg_ext, env=None):
+    """CTUWUPDT equivalent (ctuwupdt.F90:185-215).
+
+    With refraction (irefra>0) the θ̇/σ̇ rates come from PROPDOT; a CFL
+    failure with current refraction triggers the reference's retry with
+    the current terms disabled at the failing points (ctuw.F90:114-123)."""
+    refr = {}
+    if setup.irefra:
+        nfr = setup.tb.nfre_red
+        thdd, thdc, sdot = prop.propdot(
+            st, setup.tb, env["wavnum_ext"][:nfr], env["cgroup_ext"][:nfr],
+            env["omosnh2kd_ext"][:nfr], env["depth_ext"],
+            env["ucur_ext"], env["vcur_ext"], setup.irefra)
+        refr = dict(thdd=thdd, thdc=thdc, sdot=sdot,
+                    omosnh2kd_ext=env["omosnh2kd_ext"][:nfr],
+                    u_ext=env["ucur_ext"], v_ext=env["vcur_ext"])
+
+    def bands(refr_):
+        if setup.ifrelfmax > 0:
+            w_lf = prop.ctuw_weights(
+                setup.delpro_lf, st, setup.tb, cg_ext,
+                mstart=0, mend=setup.ifrelfmax, irefra=setup.irefra,
+                **refr_)
+            w_hf = prop.ctuw_weights(
+                setup.idelpro, st, setup.tb, cg_ext,
+                mstart=setup.ifrelfmax, mend=setup.tb.nfre_red,
+                irefra=setup.irefra, **refr_)
+            return (w_lf, w_hf)
+        return (prop.ctuw_weights(setup.idelpro, st, setup.tb, cg_ext,
+                                  irefra=setup.irefra, **refr_),)
+
+    w = bands(refr)
+    if setup.irefra in (2, 3):
+        fail = w[0]["cflfail"]
+        for wb in w[1:]:
+            fail = fail | wb["cflfail"]
+        curmask = 1.0 - fail.astype(cg_ext.dtype)
+        refr2 = dict(refr, thdc=refr["thdc"] * curmask[None, :],
+                     sdot=refr["sdot"] * curmask[None, None, :])
+        w = bands(refr2)
+    return w
 
 
 def propagate(setup: ModelSetup, weights, fl1, st):
@@ -107,12 +134,15 @@ def make_step(setup: ModelSetup):
     xdella = setup.stencil.xdella
     env = {k: setup.env[k] for k in ENV_KEYS}
     cg_ext = setup.env["cgroup_ext"][: setup.tb.nfre_red]
+    wenv_keys = ("wavnum_ext", "cgroup_ext", "omosnh2kd_ext", "depth_ext",
+                 "ucur_ext", "vcur_ext")
+    wenv = {k: setup.env[k] for k in wenv_keys if k in setup.env}
 
     @jax.jit
-    def compute_weights(st_a, cg_ext):
-        return _compute_weights(setup, _st_ns(st_a, xdella), cg_ext)
+    def compute_weights(st_a, cg_ext, wenv):
+        return _compute_weights(setup, _st_ns(st_a, xdella), cg_ext, wenv)
 
-    weights = compute_weights(st_arrays, cg_ext)
+    weights = compute_weights(st_arrays, cg_ext, wenv)
 
     @jax.jit
     def _adv(fl1, weights, st_a):

@@ -237,6 +237,112 @@ def build_stencil(grid: WaveGrid, blk: SeaPointBlock, nfre_red: int,
         obslat=obslat, obslon=obslon, obscor=obscor)
 
 
+CURRENT_GRADIENT_MAX = 1.0e-5    # max current gradient (yowcurr.F90:19)
+
+
+def gradi(st, depth_ext, u_ext, v_ext, irefra: int):
+    """Depth/current gradients on the sea-point block (gradi.F90:60-185).
+
+    Centred differences over the KLAT/KLON neighbours with the reference's
+    land fallbacks; current gradients additionally treat (u,v)==(0,0)
+    points as land and are clipped to CURRENT_GRADIENT_MAX·cosφ.
+    Returns dict of (npts,) arrays ddphi/ddlam/duphi/dulam/dvphi/dvlam.
+    """
+    dt = depth_ext.dtype
+    npts = st.klon.shape[0]
+    nland = depth_ext.shape[0] - 1      # land slot trails the ext layout
+    oneo2delphi = 0.5 / (st.xdella * c.CIRC / 360.0)
+    dellam2 = 2.0 * jnp.asarray(st.zdello_pt, dt) * (c.CIRC / 360.0)
+    zero = jnp.zeros(npts, dt)
+
+    def merid_grad(f_ext, treat_zero_as_land=False):
+        ipp, ipp2 = st.klat[:, 1, 0], st.klat[:, 1, 1]
+        ipm, ipm2 = st.klat[:, 0, 0], st.klat[:, 0, 1]
+        wp = jnp.asarray(st.wlat[:, 1], dt)
+        wm = jnp.asarray(st.wlat[:, 0], dt)
+
+        def land(idx):
+            l = jnp.asarray(idx == nland)
+            if treat_zero_as_land:
+                l = l | ((u_ext[idx] == 0.0) & (v_ext[idx] == 0.0))
+            return l
+        lpp, lpp2, lpm, lpm2 = land(ipp), land(ipp2), land(ipm), land(ipm2)
+        all4 = ~(lpp | lpp2 | lpm | lpm2)
+        prim = ~(lpp | lpm)
+        sec = ~(lpp2 | lpm2)
+        fp = jnp.where(all4, wp * f_ext[ipp] + (1.0 - wp) * f_ext[ipp2],
+                       jnp.where(prim, f_ext[ipp], f_ext[ipp2]))
+        fm = jnp.where(all4, wm * f_ext[ipm] + (1.0 - wm) * f_ext[ipm2],
+                       jnp.where(prim, f_ext[ipm], f_ext[ipm2]))
+        ok = all4 | prim | sec
+        return jnp.where(ok, (fp - fm) * oneo2delphi, zero)
+
+    def zonal_grad(f_ext, treat_zero_as_land=False):
+        ilp, ilm = st.klon[:, 1], st.klon[:, 0]
+
+        def land(idx):
+            l = jnp.asarray(idx == nland)
+            if treat_zero_as_land:
+                l = l | ((u_ext[idx] == 0.0) & (v_ext[idx] == 0.0))
+            return l
+        ok = ~(land(ilp) | land(ilm))
+        return jnp.where(ok, (f_ext[ilp] - f_ext[ilm]) / dellam2, zero)
+
+    out = dict(ddphi=zero, ddlam=zero, duphi=zero, dulam=zero,
+               dvphi=zero, dvlam=zero)
+    if irefra in (1, 3):
+        out["ddphi"] = merid_grad(depth_ext)
+        out["ddlam"] = zonal_grad(depth_ext)
+    if irefra in (2, 3):
+        cgmax = CURRENT_GRADIENT_MAX / jnp.asarray(st.cosphm1_pt, dt)
+
+        def clip(g):
+            return jnp.sign(g) * jnp.minimum(jnp.abs(g), cgmax)
+        out["duphi"] = clip(merid_grad(u_ext, True))
+        out["dvphi"] = clip(merid_grad(v_ext, True))
+        out["dulam"] = clip(zonal_grad(u_ext, True))
+        out["dvlam"] = clip(zonal_grad(v_ext, True))
+    return out
+
+
+def propdot(st, tb, wavnum_ext, cgroup_ext, omosnh2kd_ext,
+            depth_ext, u_ext, v_ext, irefra: int, *,
+            own: slice | None = None):
+    """Refraction rates θ̇_depth, θ̇_current and σ̇ (propdot.F90:60-150).
+
+    Returns (thdd, thdc, sdot): thdd/thdc (nang, npts) or None, sdot
+    (nang, nfre_red, npts) or None, over the owned points.
+    """
+    dt = cgroup_ext.dtype
+    npts = st.klon.shape[0]
+    if own is None:
+        own = slice(0, npts)
+    g = gradi(st, depth_ext, u_ext, v_ext, irefra)
+    dco = jnp.asarray(st.cosphm1_pt, dt)[None, :]        # ICASE=1 spherical
+    sd = jnp.asarray(tb.sinth, dt)[:, None]
+    cd = jnp.asarray(tb.costh, dt)[:, None]
+
+    thdd = thdc = sdot = None
+    if irefra in (1, 3):
+        thdd = sd * g["ddphi"][None] - cd * g["ddlam"][None] * dco
+    if irefra in (2, 3):
+        if irefra == 3:
+            omdd = (v_ext[own] * g["ddphi"]
+                    + u_ext[own] * g["ddlam"] * dco[0])
+        else:
+            omdd = jnp.zeros_like(g["ddphi"])
+        ss, sc, cc = sd * sd, sd * cd, cd * cd
+        sdot_nf = (-sc * g["duphi"][None] - cc * g["dvphi"][None]
+                   - (ss * g["dulam"][None] + sc * g["dvlam"][None]) * dco)
+        thdc = (ss * g["duphi"][None] + sc * g["dvphi"][None]
+                - (sc * g["dulam"][None] + cc * g["dvlam"][None]) * dco)
+        cg_own = cgroup_ext[:, own]                      # (nfre_red, npts)
+        sdot = ((sdot_nf[:, None, :] * cg_own[None]
+                 + omdd[None, None, :] * omosnh2kd_ext[:, own][None])
+                * wavnum_ext[:, own][None])
+    return thdd, thdc, sdot
+
+
 def _dir_selectors(tb):
     """JXO/JYO/KCR selectors as boolean masks (ctuwupdt.F90:95-150).
 
@@ -405,7 +511,7 @@ def ctuw_weights(delpro: float, st, tb,
 
     dthp = drgp * cg_own[None]
     dthm = drgm * cg_own[None]
-    if irefra == 1 and thdd is not None:
+    if irefra in (1, 3) and thdd is not None:
         drdp = (thdd[:, None, :] + thdd[kp1][:, None, :]) * delth0
         drdm = (thdd[:, None, :] + thdd[km1][:, None, :]) * delth0
         omos_own = omosnh2kd_ext[mstart:mend, own]
