@@ -1,0 +1,264 @@
+"""Command-line programs: the ecwam-preproc / ecwam-preset / ecwam-chief
+(run) / validation surface of the reference (src/programs/*.F90 +
+share/ecwam/scripts/ecwam_run_{preproc,preset,model}.sh), driven by the
+same YAML run-config schema.
+
+Usage:
+  python -m ecwam_tpu preproc --config cfg.yml --rundir RUN
+  python -m ecwam_tpu preset  --config cfg.yml --rundir RUN
+  python -m ecwam_tpu run     --config cfg.yml --rundir RUN [--validate]
+  python -m ecwam_tpu validate --config cfg.yml --rundir RUN
+  python -m ecwam_tpu info
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as _dt
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from ecwam_tpu.config.schema import RunConfig, DATE_FMT
+
+
+def _fmt14(d: _dt.datetime) -> str:
+    return d.strftime(DATE_FMT)
+
+
+def _build_model(cfg: RunConfig, dtype=None):
+    import jax.numpy as jnp
+    from ecwam_tpu.model import setup as setup_mod
+    kw = cfg.build_kwargs()
+    if cfg.bathymetry not in ("aqua",):
+        bathy_path = cfg.bathymetry
+        if os.path.exists(bathy_path):
+            kw["bathy"] = np.load(bathy_path)["bathy"]
+        else:
+            print(f"[ecwave] bathymetry {cfg.bathymetry!r} not available "
+                  "— falling back to aqua planet", file=sys.stderr)
+    return setup_mod.build_model(dtype=dtype or jnp.float32, **kw)
+
+
+def _forcing_provider(cfg: RunConfig, ms, rundir: str):
+    from ecwam_tpu.io import forcing as forcing_mod
+    lat = np.asarray(ms.grid.lats)[ms.blk.kxlt]
+    lon = ms.grid.amowep + ms.blk.ixlg * ms.grid.zdello[ms.blk.kxlt]
+    path = cfg.forcings_file
+    if path and not os.path.isabs(path) and rundir:
+        cand = os.path.join(rundir, path)
+        if os.path.exists(cand):
+            path = cand
+    if path and os.path.exists(path) and path.endswith(".npz"):
+        ff = forcing_mod.ForcingFile.load(path)
+    else:
+        if path:
+            print(f"[ecwave] forcing file {path!r} unreadable (GRIB decode "
+                  "pending) — using synthetic analytic winds",
+                  file=sys.stderr)
+        dates = cfg.forcing_dates() or [cfg.begin]
+        times14 = [int(_fmt14(d)) for d in dates]
+        ff = forcing_mod.synthetic_forcing_file(times14)
+    return ff.provider(lat, lon)
+
+
+def cmd_preproc(args):
+    """Grid/bathymetry preprocessing → wam_grid_tables.npz equivalent."""
+    cfg = RunConfig.from_yaml(args.config)
+    ms = _build_model(cfg)
+    os.makedirs(args.rundir, exist_ok=True)
+    fn = os.path.join(args.rundir, "wam_grid_tables.npz")
+    np.savez_compressed(
+        fn, grid=cfg.grid, nang=cfg.directions, nfre=cfg.frequencies,
+        nsea=ms.blk.nsea, ixlg=ms.blk.ixlg, kxlt=ms.blk.kxlt,
+        depth=ms.blk.depth, nlonrgg=ms.grid.nlonrgg,
+        xdella=ms.grid.xdella, zdello=ms.grid.zdello,
+        amowep=ms.grid.amowep, amosop=ms.grid.amosop)
+    print(f"wrote {fn} ({ms.blk.nsea} sea points)")
+    return 0
+
+
+def cmd_preset(args):
+    """Cold start: JONSWAP spectra from the first wind field → restart."""
+    from ecwam_tpu.io import restart as restart_mod
+    from ecwam_tpu.model import preset as preset_mod
+    from ecwam_tpu.model import stepper as stepper_mod
+    from ecwam_tpu.model.setup import pad_point_field
+    import jax.numpy as jnp
+
+    cfg = RunConfig.from_yaml(args.config)
+    ms = _build_model(cfg)
+    provider = _forcing_provider(cfg, ms, args.rundir)
+    date14 = _fmt14(cfg.begin)
+    raw = provider(date14)
+    frc = {k: jnp.asarray(pad_point_field(ms, np.asarray(v, np.float64)),
+                          ms.dtype) for k, v in raw.items()}
+    fl1 = preset_mod.mstart(
+        ms.tb, np.asarray(frc["wswave"]), np.asarray(frc["wdwave"]))
+    stress = stepper_mod.initial_stress(ms, frc)
+    os.makedirs(args.rundir, exist_ok=True)
+    fn = restart_mod.save_restart(args.rundir, date14, fl1, stress, frc)
+    print(f"wrote {fn}")
+    return 0
+
+
+def run_model(cfg: RunConfig, rundir: str, *, dtype=None, quiet=False):
+    """The WAMODEL/WAMINTGR date loop with output & restart scheduling."""
+    import jax.numpy as jnp
+    from ecwam_tpu.io import norms as norms_mod
+    from ecwam_tpu.io import products as products_mod
+    from ecwam_tpu.io import restart as restart_mod
+    from ecwam_tpu.model import driver as driver_mod
+
+    os.makedirs(rundir, exist_ok=True)
+    ms = _build_model(cfg, dtype=dtype)
+    provider = _forcing_provider(cfg, ms, rundir)
+
+    # resume from a restart at `begin` if present (GETSPEC role)
+    fl1 = stress = None
+    rst = os.path.join(rundir, restart_mod.restart_name(_fmt14(cfg.begin)))
+    if os.path.exists(rst):
+        data = restart_mod.load_restart(rst, nang=ms.tb.nang, nfre=ms.tb.nfre)
+        from ecwam_tpu.model.setup import pad_point_field
+
+        def adapt(v):
+            """Restart files may hold n_real or any padded width
+            (layout-independent restore, getspec.F90 redistribution role)."""
+            v = np.asarray(v, np.float64)
+            if v.shape[-1] == ms.n_pad:
+                return v
+            return pad_point_field(ms, v[..., : ms.n_real])
+
+        fl1 = jnp.asarray(adapt(data["fl1"]), ms.dtype)
+        if data["stress"]:
+            stress = {k: jnp.asarray(adapt(v), ms.dtype)
+                      for k, v in data["stress"].items()}
+        if not quiet:
+            print(f"[ecwave] resumed from {rst}")
+
+    model = driver_mod.WaveModel(ms, provider, cfg.begin, fl1=fl1,
+                                 stress=stress)
+
+    out_dates = set(cfg.output_dates())
+    frc_dates = set(cfg.forcing_dates())
+    rst_dates = set(cfg.restart_times)
+    names = cfg.output_fields.names if cfg.output_fields else ("swh",)
+    known = [n for n in names if n in products_mod.CATALOG]
+
+    log = norms_mod.StatisticsLog()
+    saved = []
+
+    def do_output(date):
+        d14 = _fmt14(date)
+        stress_state = dict(model.stress)
+        stress_state.setdefault("z0b", model.stress["z0b"])
+        fields = products_mod.compute(
+            known, model.fl1, ms.tb, {**model.state, **model.stress},
+            model.frc, ms.phys.params)
+        for n in known:
+            log.add(n, d14, np.asarray(fields[n])[: ms.n_real])
+
+    # step 0 output (OUTSTEP0, initmdl.F90:1101)
+    if cfg.begin in out_dates or not out_dates:
+        do_output(cfg.begin)
+
+    t_wall = time.perf_counter()
+    step = _dt.timedelta(seconds=cfg.adv_timestep)
+    date = cfg.begin
+    while date < cfg.end:
+        nxt = date + step
+        model.advance(1)
+        if nxt in frc_dates:
+            model.frc = model._fetch_forcing(nxt)
+        if nxt in out_dates:
+            do_output(nxt)
+        if nxt in rst_dates:
+            saved.append(restart_mod.save_restart(
+                rundir, _fmt14(nxt), model.fl1, model.stress,
+                model.frc))
+        date = nxt
+
+    wall = time.perf_counter() - t_wall
+    log_path = os.path.join(rundir, "statistics.log")
+    log.write(log_path)
+    if not quiet:
+        tm = model.timers
+        print(f"[ecwave] {tm.steps} steps in {wall:.2f}s wall "
+              f"(propag {tm.propag:.2f}s, phys {tm.phys:.2f}s); "
+              f"wrote {log_path}" +
+              (f"; restarts: {', '.join(saved)}" if saved else ""))
+    return model, log
+
+
+def cmd_run(args):
+    cfg = RunConfig.from_yaml(args.config)
+    _, log = run_model(cfg, args.rundir)
+    if args.validate:
+        return _validate(cfg, log.entries)
+    return 0
+
+
+def _validate(cfg: RunConfig, entries) -> int:
+    from ecwam_tpu.io import norms as norms_mod
+    block = cfg.validation.get("single_precision") or \
+        cfg.validation.get("double_precision") or []
+    failures = norms_mod.validate(entries, block)
+    if failures:
+        for f in failures:
+            print("VALIDATION FAIL:", json.dumps(f, default=str))
+        return 1
+    print(f"validation OK ({len(block)} checks)")
+    return 0
+
+
+def cmd_validate(args):
+    from ecwam_tpu.io import norms as norms_mod
+    cfg = RunConfig.from_yaml(args.config)
+    entries = []
+    with open(os.path.join(args.rundir, "statistics.log")) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            p = line.split()
+            entries.append(dict(
+                time=p[0], index=int(p[1]), name=p[2],
+                average=float(p[3]), minimum=float(p[5]),
+                maximum=float(p[7]), non_missing_points=int(p[9])))
+    return _validate(cfg, entries)
+
+
+def cmd_info(args):
+    import jax
+    print("ecwave (ecwam_tpu) — TPU-native spectral wave model")
+    print("capabilities: CTU propagation (IPROPAGS=2), IPHYS∈{0,1} physics,")
+    print("  DIA nonlinear transfer, depth/current refraction (IREFRA≤3),")
+    print("  fast-wave substepping, 1-D lat-band sharding (shard_map),")
+    print("  statistics.log norms, npz restart/forcing")
+    print(f"jax {jax.__version__}, backend: "
+          f"{jax.default_backend()}, devices: {len(jax.devices())}")
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="ecwave")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn, needs_cfg in (
+            ("preproc", cmd_preproc, True), ("preset", cmd_preset, True),
+            ("run", cmd_run, True), ("validate", cmd_validate, True),
+            ("info", cmd_info, False)):
+        sp = sub.add_parser(name)
+        sp.set_defaults(fn=fn)
+        if needs_cfg:
+            sp.add_argument("--config", required=True)
+            sp.add_argument("--rundir", default="run")
+        if name == "run":
+            sp.add_argument("--validate", action="store_true")
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

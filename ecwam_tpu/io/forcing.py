@@ -1,0 +1,157 @@
+"""Forcing ingestion: the PREWIND/READWIND/GRIB2WGRID/WAMWND pipeline.
+
+The reference reads GRIB wind/ice fields on an arbitrary regular or
+reduced lat-lon grid, bilinearly interpolates them to the wave grid
+(/root/reference/src/ecwam/grib2wgrid.F90:20-30) and converts components
+to speed/direction at the model points (wamwnd.F90).  Here the container
+is a ``.npz`` file (until the native GRIB codec lands); the interpolation
+and conversion are faithful re-derivations.
+
+npz layout (time-major):
+  times:   (nt,) int64 YYYYMMDDHHMMSS
+  lats:    (ny,) descending or ascending degrees
+  lons:    (nx,) degrees
+  u10,v10: (nt, ny, nx)   10 m wind components  [or wspd+wdir]
+  cicover: (nt, ny, nx)   optional sea-ice cover
+  ucur,vcur: optional surface currents
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ecwam_tpu.core import constants as c
+
+WSPMIN = 1.0               # minimum wind speed (userin.F90:914-917)
+
+
+def bilinear_weights(lats, lons, plat, plon):
+    """Bilinear interpolation indices/weights from a regular lat-lon grid
+    to scattered points (grib2wgrid.F90 interpolation core).
+
+    Longitudes are periodic; latitudes are clamped at the poles.  Returns
+    (iy0, iy1, wy, ix0, ix1, wx) arrays over the points.
+    """
+    lats = np.asarray(lats, np.float64)
+    lons = np.asarray(lons, np.float64)
+    asc = lats[1] > lats[0]
+    la = lats if asc else lats[::-1]
+    ny, nx = len(lats), len(lons)
+
+    iy = np.searchsorted(la, plat, side="right") - 1
+    iy = np.clip(iy, 0, ny - 2)
+    wy = np.clip((plat - la[iy]) / (la[iy + 1] - la[iy]), 0.0, 1.0)
+    iy0, iy1 = iy, iy + 1
+    if not asc:
+        iy0, iy1 = ny - 1 - iy0, ny - 1 - iy1
+
+    dlon = (lons[1] - lons[0]) % 360.0
+    x = ((plon - lons[0]) % 360.0) / dlon
+    ix0 = np.floor(x).astype(int) % nx
+    ix1 = (ix0 + 1) % nx
+    wx = x - np.floor(x)
+    return iy0, iy1, wy, ix0, ix1, wx
+
+
+def interp_field(field2d, w):
+    iy0, iy1, wy, ix0, ix1, wx = w
+    f00 = field2d[iy0, ix0]
+    f01 = field2d[iy0, ix1]
+    f10 = field2d[iy1, ix0]
+    f11 = field2d[iy1, ix1]
+    return ((1 - wy) * ((1 - wx) * f00 + wx * f01)
+            + wy * ((1 - wx) * f10 + wx * f11))
+
+
+def uv_to_speed_dir(u, v):
+    """WAMWND conversion: components → speed + oceanographic direction
+    (direction the wind blows TOWARDS, radians) (wamwnd.F90)."""
+    wspd = np.hypot(u, v)
+    wdir = np.arctan2(u, v) % c.ZPI
+    return wspd, wdir
+
+
+@dataclasses.dataclass
+class ForcingFile:
+    """Time series of forcing fields on a regular lat-lon grid."""
+
+    times14: np.ndarray        # (nt,) int64
+    lats: np.ndarray
+    lons: np.ndarray
+    fields: dict               # name → (nt, ny, nx)
+
+    @classmethod
+    def load(cls, path: str) -> "ForcingFile":
+        with np.load(path) as z:
+            fields = {k: z[k] for k in z.files
+                      if k not in ("times", "lats", "lons")}
+            return cls(times14=np.asarray(z["times"], np.int64),
+                       lats=z["lats"], lons=z["lons"], fields=fields)
+
+    def save(self, path: str):
+        np.savez_compressed(path, times=self.times14, lats=self.lats,
+                            lons=self.lons, **self.fields)
+
+    def time_index(self, date14: str) -> int:
+        """Latest record at or before date14 (NEWWIND uses the field valid
+        for the current wind period)."""
+        t = np.int64(date14)
+        idx = int(np.searchsorted(self.times14, t, side="right")) - 1
+        return max(idx, 0)
+
+    def provider(self, plat, plon):
+        """Build a ``provider(date14) -> dict`` for WaveModel (the GETWND
+        role): interpolate to the points, convert to model fields."""
+        w = bilinear_weights(self.lats, self.lons, plat, plon)
+        npts = len(plat)
+
+        def provider(date14: str) -> dict:
+            i = self.time_index(date14)
+            out = {}
+            f = self.fields
+            if "u10" in f:
+                u = interp_field(f["u10"][i], w)
+                v = interp_field(f["v10"][i], w)
+                wspd, wdir = uv_to_speed_dir(u, v)
+            else:
+                wspd = interp_field(f["wspd"][i], w)
+                wdir = np.deg2rad(interp_field(f["wdir"][i], w))
+            out["wswave"] = np.maximum(wspd, WSPMIN)
+            out["wdwave"] = wdir
+            out["aird"] = (interp_field(f["aird"][i], w) if "aird" in f
+                           else np.full(npts, c.ROAIR))
+            out["wstar"] = (interp_field(f["wstar"][i], w) if "wstar" in f
+                            else np.zeros(npts))
+            out["cicover"] = np.clip(
+                interp_field(f["cicover"][i], w), 0.0, 1.0) \
+                if "cicover" in f else np.zeros(npts)
+            if "cithick" in f:
+                out["cithick"] = np.maximum(
+                    interp_field(f["cithick"][i], w), 0.0)
+            return out
+
+        return provider
+
+
+def synthetic_forcing_file(times14, lats=None, lons=None, *,
+                           u10_fn=None) -> ForcingFile:
+    """Analytic global wind field for tests/benchmarks: a zonally-banded
+    westerly/trade pattern unless ``u10_fn(lat2d, lon2d, it)`` is given."""
+    lats = np.arange(-87.5, 88.0, 5.0) if lats is None else lats
+    lons = np.arange(0.0, 360.0, 5.0) if lons is None else lons
+    la, lo = np.meshgrid(lats, lons, indexing="ij")
+    nt = len(times14)
+    u10 = np.empty((nt, len(lats), len(lons)))
+    v10 = np.empty_like(u10)
+    for it in range(nt):
+        if u10_fn is not None:
+            u10[it], v10[it] = u10_fn(la, lo, it)
+        else:
+            u10[it] = 8.0 * np.sin(np.deg2rad(3.0 * la)) \
+                + 2.0 * np.cos(np.deg2rad(lo + 10.0 * it))
+            v10[it] = 3.0 * np.sin(np.deg2rad(2.0 * lo) + 0.3 * it)
+    return ForcingFile(
+        times14=np.asarray(times14, np.int64), lats=lats, lons=lons,
+        fields=dict(u10=u10, v10=v10))
