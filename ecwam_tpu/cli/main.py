@@ -52,13 +52,12 @@ def _forcing_provider(cfg: RunConfig, ms, rundir: str):
         cand = os.path.join(rundir, path)
         if os.path.exists(cand):
             path = cand
-    if path and os.path.exists(path) and path.endswith(".npz"):
+    if path and os.path.exists(path):
         ff = forcing_mod.ForcingFile.load(path)
     else:
         if path:
-            print(f"[ecwave] forcing file {path!r} unreadable (GRIB decode "
-                  "pending) — using synthetic analytic winds",
-                  file=sys.stderr)
+            print(f"[ecwave] forcing file {path!r} not found "
+                  "— using synthetic analytic winds", file=sys.stderr)
         dates = cfg.forcing_dates() or [cfg.begin]
         times14 = [int(_fmt14(d)) for d in dates]
         ff = forcing_mod.synthetic_forcing_file(times14)
@@ -151,15 +150,22 @@ def run_model(cfg: RunConfig, rundir: str, *, dtype=None, quiet=False):
     log = norms_mod.StatisticsLog()
     saved = []
 
+    grib_out = (cfg.output_fields is not None
+                and cfg.output_fields.format == "grib")
+
     def do_output(date):
         d14 = _fmt14(date)
-        stress_state = dict(model.stress)
-        stress_state.setdefault("z0b", model.stress["z0b"])
         fields = products_mod.compute(
             known, model.fl1, ms.tb, {**model.state, **model.stress},
             model.frc, ms.phys.params)
+        host = {n: np.asarray(fields[n])[: ms.n_real] for n in known}
         for n in known:
-            log.add(n, d14, np.asarray(fields[n])[: ms.n_real])
+            log.add(n, d14, host[n])
+        if grib_out:
+            from ecwam_tpu.io import gribout
+            gribout.write_fields(
+                os.path.join(rundir, f"MPP{d14}.grib"),
+                host, ms.blk, ms.grid, d14)
 
     # step 0 output (OUTSTEP0, initmdl.F90:1101)
     if cfg.begin in out_dates or not out_dates:

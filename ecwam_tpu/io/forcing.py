@@ -84,11 +84,53 @@ class ForcingFile:
 
     @classmethod
     def load(cls, path: str) -> "ForcingFile":
+        if path.endswith((".grib", ".grb", ".grib1")):
+            return cls.from_grib(path)
         with np.load(path) as z:
             fields = {k: z[k] for k in z.files
                       if k not in ("times", "lats", "lons")}
             return cls(times14=np.asarray(z["times"], np.int64),
                        lats=z["lats"], lons=z["lons"], fields=fields)
+
+    # GRIB1 parameter → forcing field (readwind.F90 ingest set; ECMWF
+    # table 128: 165/166 = 10u/10v, 31 = ci, 235 nothing here)
+    GRIB_PARAMS = {165: "u10", 166: "v10", 31: "cicover",
+                   245: "wspd", 249: "wdir", 93: "cithick"}
+
+    @classmethod
+    def from_grib(cls, path: str) -> "ForcingFile":
+        """Read forcing from a GRIB1 file on a regular lat-lon grid
+        (the READWIND → GRIB2WGRID ingest, via the native codec)."""
+        from ecwam_tpu.io import grib as grib_mod
+        msgs = grib_mod.read_messages(path)
+        series: dict = {}
+        lats = lons = None
+        for m in msgs:
+            name = cls.GRIB_PARAMS.get(m.meta["param"])
+            if name is None:
+                continue
+            if m.meta["ni"] < 0:
+                raise NotImplementedError(
+                    "reduced-grid forcing not supported; regrid first")
+            if lats is None:
+                lats, lons = m.lats, m.lons
+            t = np.int64(m.date14)
+            series.setdefault(name, {})[t] = m.grid_values()
+        if not series:
+            raise ValueError(f"no usable forcing fields in {path}")
+        times = sorted({t for d in series.values() for t in d})
+        ny, nx = len(lats), len(lons)
+        fields = {}
+        for name, d in series.items():
+            arr = np.empty((len(times), ny, nx))
+            last = None
+            for i, t in enumerate(times):
+                last = d.get(t, last if last is not None
+                             else next(iter(d.values())))
+                arr[i] = last
+            fields[name] = arr
+        return cls(times14=np.asarray(times, np.int64),
+                   lats=lats, lons=lons, fields=fields)
 
     def save(self, path: str):
         np.savez_compressed(path, times=self.times14, lats=self.lats,
