@@ -218,7 +218,8 @@ class RunConfig:
             nfre=self.frequencies,
             idelpro=self.adv_timestep, idelt=self.phys_timestep,
             iphys=self.iphys, irefra=self.irefra,
-            llgcbz0=self.llgcbz0, llnormagam=self.llnormagam)
+            llgcbz0=self.llgcbz0, llnormagam=self.llnormagam,
+            lciwa3=self.lciwa3, lciscal=self.lciscal)
         if self.fast_waves_timestep:
             kw["delpro_lf"] = self.fast_waves_timestep
             kw["ifrelfmax"] = self.fast_waves_max_frequency

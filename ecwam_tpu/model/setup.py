@@ -105,6 +105,8 @@ def build_model(
     isnonlin: int = 1,
     llgcbz0: bool = False,
     llnormagam: bool = False,
+    lciwa3: bool = False,
+    lciscal: bool = False,
     pad_to: int = 128,
     dtype=jnp.float32,
     obstructions=None,
@@ -131,7 +133,8 @@ def build_model(
     params = pp.set_phys_params(iphys, nang=nang, llgcbz0=llgcbz0,
                                 llnormagam=llnormagam)
     phys = impl.make_physics_config(tb, params, idelt, nfre_red=nfre_red,
-                                    isnonlin=isnonlin)
+                                    isnonlin=isnonlin, lciwa3=lciwa3,
+                                    lciscal=lciscal)
 
     n_real = blk.nsea
     n_pad = ((n_real + pad_to - 1) // pad_to) * pad_to

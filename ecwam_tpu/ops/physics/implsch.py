@@ -65,6 +65,9 @@ class PhysicsConfig:
     lwamrsetci: bool = True   # sea-ice flux adjustments (mpuserin.F90:790)
     lstokes: bool = True      # surface Stokes drift (STOKESTRN)
     lstrn: bool = False       # sea-ice mean-square strain (CIMSSTRN)
+    lciwa1: bool = False      # sea-ice attenuation models (SDICE1/2/3)
+    lciwa2: bool = False
+    lciwa3: bool = False
 
 
 def make_physics_config(tables, params: pp.PhysParams, idelt: float,
@@ -208,6 +211,14 @@ def implsch(cfg: PhysicsConfig, fl1, env, frc,
         beta = (1.0 - frc["cicover"])[None, None, :]
         sl = beta * sl
         fld = beta * fld
+
+    if cfg.licerun and (cfg.lciwa1 or cfg.lciwa2 or cfg.lciwa3):
+        from ecwam_tpu.ops.physics import sdice as sdice_mod
+        cithick = frc.get("cithick", jnp.zeros_like(frc["cicover"]))
+        fld, sl, _slice = sdice_mod.sdice(
+            fl1, fld, sl, env["wavnum"], env["cgroup"], frc["cicover"],
+            cithick, tb, cfg.idelt,
+            lciwa1=cfg.lciwa1, lciwa2=cfg.lciwa2, lciwa3=cfg.lciwa3)
 
     fld, sl = shallow_mod.sbottom(
         fl1, fld, sl, env["wavnum"], env["depth"], cfg.nfre_red)
