@@ -111,6 +111,7 @@ class RunConfig:
     irefra: int = 0
     llgcbz0: bool = False
     llnormagam: bool = False
+    llcapchnk: bool = False
     lciwa3: bool = False
     lciscal: bool = False
     nproma: int = 32           # accepted for compat; TPU build ignores it
@@ -204,6 +205,7 @@ class RunConfig:
             irefra=int(raw.get("irefra", 0)),
             llgcbz0=_bool(raw.get("llgcbz0", False)),
             llnormagam=_bool(raw.get("llnormagam", False)),
+            llcapchnk=_bool(raw.get("llcapchnk", False)),
             lciwa3=_bool(raw.get("lciwa3", False)),
             lciscal=_bool(raw.get("lciscal", False)),
             nproma=int(raw.get("nproma", 32)),
@@ -219,6 +221,7 @@ class RunConfig:
             idelpro=self.adv_timestep, idelt=self.phys_timestep,
             iphys=self.iphys, irefra=self.irefra,
             llgcbz0=self.llgcbz0, llnormagam=self.llnormagam,
+            llcapchnk=self.llcapchnk,
             lciwa3=self.lciwa3, lciscal=self.lciscal)
         if self.fast_waves_timestep:
             kw["delpro_lf"] = self.fast_waves_timestep

@@ -105,6 +105,7 @@ def build_model(
     isnonlin: int = 1,
     llgcbz0: bool = False,
     llnormagam: bool = False,
+    llcapchnk: bool = False,
     lciwa3: bool = False,
     lciscal: bool = False,
     pad_to: int = 128,
@@ -131,7 +132,8 @@ def build_model(
 
     tb = build_spectral_tables(nang=nang, nfre=nfre, nfre_red=nfre_red)
     params = pp.set_phys_params(iphys, nang=nang, llgcbz0=llgcbz0,
-                                llnormagam=llnormagam)
+                                llnormagam=llnormagam,
+                                llcapchnk=llcapchnk)
     phys = impl.make_physics_config(tb, params, idelt, nfre_red=nfre_red,
                                     isnonlin=isnonlin, lciwa3=lciwa3,
                                     lciscal=lciscal)

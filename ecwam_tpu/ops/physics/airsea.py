@@ -51,6 +51,165 @@ def z0wave(us, tauw, u10, params: pp.PhysParams):
     return z0, z0b, chrnck
 
 
+def _cdm(u):
+    """Empirical neutral drag curve CDM (taut_z0 cdm.func.h)."""
+    return jnp.maximum(
+        jnp.minimum(0.0006 + 0.00008 * u,
+                    0.001 + 0.0018 * jnp.exp(-0.05 * (u - 33.0))), 0.001)
+
+
+def taut_z0_gc(utop, udir, tauw, tauwdir, ustar_guess, halp, rnfac,
+               params: pp.PhysParams, *, iusfg: int = 0, gct=None):
+    """LLGCBZ0 branch of the stress solve (taut_z0.F90:146-281).
+
+    The total stress balance  u*² = tauw_eff + tau_visc + tau_gc  is solved
+    by under-relaxed fixed-point iteration with the gravity-capillary stress
+    from STRESS_GC, then z0/Charnock by a Newton iteration on the log
+    profile.  The reference's per-point early exits become convergence
+    masks; 'no convergence after NITER' fallbacks are applied per point.
+
+    Returns (ustar, z0, z0b, chrnck).
+    """
+    from ecwam_tpu.ops.physics import gc as gc_mod
+    if gct is None:
+        gct = gc_mod.gc_tables()
+    dt = utop.dtype
+    z0min = 1.0e-6
+    pmax = 0.99
+    pce_gc = 0.001 if iusfg == 1 else 0.005
+    rnukappam1 = 0.04 * pp.RNU / pp.XKAPPA
+    epsus = jnp.asarray(c.EPSUS, dt)
+
+    cosdiff = jnp.cos(udir - tauwdir)
+    tauwact = jnp.maximum(tauw * cosdiff, jnp.asarray(c.EPSMIN, dt))
+    llcosdiff = cosdiff > 0.9
+
+    if params.llcapchnk:
+        alphaog = chnkmin(utop, params) * c.GM1
+    else:
+        alphaog = jnp.zeros_like(utop)
+
+    usmax = jnp.maximum(
+        -0.21339 + utop * (0.093698 + utop * (-0.0020944 + 5.5091e-5 * utop)),
+        0.03)
+    tauweff = jnp.minimum(tauwact * (1.0 + EPS1), usmax**2)
+
+    if iusfg == 0:
+        # first-guess drag coefficient (taut_z0.F90:163-180)
+        x = jnp.minimum(tauwact / jnp.maximum(ustar_guess, epsus)**2, pmax)
+        zchar = jnp.minimum(
+            params.alpha * c.GM1 * ustar_guess**2 / jnp.sqrt(1.0 - x),
+            0.05 * jnp.exp(-0.05 * (utop - 35.0)))
+        zchar = jnp.minimum(zchar, pp.ALPHAMAX)
+        cdfg = jnp.where(
+            utop < 1.0, 0.002,
+            jnp.where(llcosdiff,
+                      c.ACDLIN + c.BCDLIN * jnp.sqrt(zchar) * utop,
+                      _cdm(utop)))
+        ustar = utop * jnp.sqrt(cdfg)
+    else:
+        ustar = ustar_guess
+
+    w1 = 0.85 - 0.05 * (jnp.tanh(10.0 * (utop - 5.0)) + 1.0)
+    xkutop = pp.XKAPPA * utop
+
+    def body1(_, carry):
+        ustold, tauold, ust, z0c, tauunr, done = carry
+        z0n = jnp.maximum(
+            pp.XNLEV / (jnp.exp(jnp.minimum(xkutop / ustold, 50.0)) - 1.0),
+            z0min)
+        tauv = rnukappam1 * ustold / z0n
+        ang = (params.ang_gc_a
+               + params.ang_gc_b * jnp.tanh(params.ang_gc_c * tauold))
+        tauunr_n = gc_mod.stress_gc(
+            ang, ustold, z0n, z0min, halp, rnfac, gct, params)
+        taunew = tauweff + tauv + tauunr_n
+        ustmix = w1 * ustold + (1.0 - w1) * jnp.sqrt(taunew)
+        done_new = done | (jnp.abs(ustmix - ustold) < pce_gc * ustmix)
+        ust = jnp.where(done, ust, ustmix)
+        z0c = jnp.where(done, z0c, z0n)
+        tauunr = jnp.where(done, tauunr, tauunr_n)
+        tauold = jnp.where(done_new, tauold, ustmix**2)
+        ustold = jnp.where(done_new, ustold, ustmix)
+        return ustold, tauold, ust, z0c, tauunr, done_new
+
+    init1 = (ustar, ustar**2, ustar, jnp.zeros_like(ustar),
+             jnp.zeros_like(ustar), jnp.zeros(ustar.shape, bool))
+    _, tauold1, ustar, z0raw, tauunr, conv1 = jax.lax.fori_loop(
+        0, NITER, body1, init1)
+
+    x1 = tauweff / tauold1
+    fallback = (~conv1) & (x1 >= pmax)
+    ust_fb = utop * jnp.sqrt(_cdm(utop))
+    z0minrst = ust_fb**2 * params.alpha * c.GM1
+    z0_fb = jnp.maximum(
+        pp.XNLEV / (jnp.exp(jnp.minimum(xkutop / ust_fb, 50.0)) - 1.0),
+        z0minrst)
+    z0_ok = jnp.maximum(
+        pp.XNLEV / (jnp.exp(jnp.minimum(xkutop / ustar, 50.0)) - 1.0), z0min)
+    z0b_ok = z0_ok * jnp.sqrt(tauunr / tauold1)
+    ustar = jnp.where(fallback, ust_fb, ustar)
+    z0 = jnp.where(fallback, z0_fb, z0_ok)
+    z0b = jnp.where(fallback, z0minrst, z0b_ok)
+
+    # --- second stage: Newton solve for z0/Charnock where x1 < pmax
+    usnrf, z0nrf, z0bnrf = ustar, z0, z0b
+    tau0 = jnp.maximum(ustar**2, tauweff)
+    alpog = jnp.maximum(jnp.minimum(z0b / tau0, pp.ALPHAMAX), alphaog)
+
+    def body2(_, carry):
+        ustold, tauold, ust, z0c, z0bc, xk, done = carry
+        x = jnp.minimum(tauweff / tauold, pmax)
+        ustm1 = 1.0 / jnp.maximum(ustold, epsus)
+        z0vis = pp.RNUM * ustm1
+        h = 0.5 * z0vis / (1.0 - x)
+        z0b_n = alpog * tauold
+        z0_n = h + jnp.sqrt(h**2 + z0b_n**2 / (1.0 - x))
+        xologz0 = 1.0 / jnp.log(pp.XNLEV / z0_n + 1.0)
+        f = ustold - xkutop * xologz0
+        zz = (2.0 * ustm1 * (3.0 * z0b_n**2 + 0.5 * z0vis * z0_n - z0_n**2)
+              / (2.0 * z0_n**2 * (1.0 - x) - z0vis * z0_n))
+        delf = 1.0 - xkutop * xologz0**2 * zz
+        ust_n = jnp.where(delf != 0.0, ustold - f / delf, ustold)
+        taunew = jnp.maximum(ust_n**2, tauweff)
+        ust_n = jnp.sqrt(taunew)
+        done_new = done | (jnp.abs(taunew - tauold) < pce_gc * tauold)
+        ust = jnp.where(done, ust, ust_n)
+        z0c = jnp.where(done, z0c, z0_n)
+        z0bc = jnp.where(done, z0bc, z0b_n)
+        xk = jnp.where(done, xk, x)
+        tauold = jnp.where(done_new, tauold, taunew)
+        ustold = jnp.where(done_new, ustold, ust_n)
+        return ustold, tauold, ust, z0c, z0bc, xk, done_new
+
+    init2 = (ustar, tau0, ustar, z0, z0b, jnp.zeros_like(ustar),
+             jnp.zeros(ustar.shape, bool))
+    _, _, ust2, z02, z0b2, x2, conv2 = jax.lax.fori_loop(
+        0, NITER, body2, init2)
+
+    # no-convergence restore (taut_z0.F90:266-273)
+    ust2 = jnp.where(conv2, ust2, usnrf)
+    z02 = jnp.where(conv2, z02, z0nrf)
+    z0b2 = jnp.where(conv2, z0b2, z0bnrf)
+    ustm1_2 = 1.0 / jnp.maximum(ust2, epsus)
+    chrnck_nc = jnp.maximum(
+        c.G * (z02 - pp.RNUM * ustm1_2) * ustm1_2**2, params.alphamin)
+    chrnck_c = jnp.maximum(
+        c.G * (z0b2 / jnp.sqrt(1.0 - x2)) * ustm1_2**2, params.alphamin)
+    chrnck2 = jnp.where(conv2, chrnck_c, chrnck_nc)
+
+    # x1 >= pmax points skip the second stage (taut_z0.F90:278-281)
+    second = x1 < pmax
+    ustm1_1 = 1.0 / jnp.maximum(ustar, epsus)
+    chrnck1 = jnp.maximum(
+        c.G * (z0 - pp.RNUM * ustm1_1) * ustm1_1**2, params.alphamin)
+    ustar = jnp.where(second, ust2, ustar)
+    z0 = jnp.where(second, z02, z0)
+    z0b = jnp.where(second, z0b2, z0b)
+    chrnck = jnp.where(second, chrnck2, chrnck1)
+    return ustar, z0, z0b, chrnck
+
+
 def taut_z0(utop, udir, tauw, tauwdir, ustar_guess, params: pp.PhysParams,
             *, iusfg: int = 0):
     """Total stress / roughness closure, non-gravity-capillary branch
@@ -66,10 +225,6 @@ def taut_z0(utop, udir, tauw, tauwdir, ustar_guess, params: pp.PhysParams,
     tauwact = jnp.maximum(tauw * cosdiff, jnp.asarray(c.EPSMIN, dt))
     us2totauw = 1.0 + EPS1
     tauweff = tauwact * us2totauw
-
-    if params.llgcbz0:
-        raise NotImplementedError(
-            "gravity-capillary z0 model (LLGCBZ0) not yet implemented")
 
     if params.llcapchnk:
         charnock_min = chnkmin(utop, params)
@@ -115,17 +270,24 @@ def taut_z0(utop, udir, tauw, tauwdir, ustar_guess, params: pp.PhysParams,
 
 
 def airsea(u10, udir, tauw, tauwdir, ustar, params: pp.PhysParams,
-           *, icode_wnd: int = 3, iusfg: int = 0, wspmin: float = WSPMIN_DEFAULT):
+           *, icode_wnd: int = 3, iusfg: int = 0,
+           wspmin: float = WSPMIN_DEFAULT, halp=None, rnfac=None):
     """Surface-stress dispatch (airsea.F90:44-70).
 
-    icode_wnd==3: wind-speed forcing → TAUT_Z0 solve (the standard path).
+    icode_wnd==3: wind-speed forcing → TAUT_Z0 solve (the standard path;
+    LLGCBZ0 selects the gravity-capillary closure and requires halp/rnfac).
     icode_wnd in (1, 2): u* forcing → Z0WAVE + log-profile U10.
 
     Returns (u10, ustar, z0, z0b, chrnck).
     """
     if icode_wnd == 3:
-        ustar, z0, z0b, chrnck = taut_z0(
-            u10, udir, tauw, tauwdir, ustar, params, iusfg=iusfg)
+        if params.llgcbz0:
+            ustar, z0, z0b, chrnck = taut_z0_gc(
+                u10, udir, tauw, tauwdir, ustar, halp, rnfac,
+                params, iusfg=iusfg)
+        else:
+            ustar, z0, z0b, chrnck = taut_z0(
+                u10, udir, tauw, tauwdir, ustar, params, iusfg=iusfg)
         return u10, ustar, z0, z0b, chrnck
     elif icode_wnd in (1, 2):
         z0, z0b, chrnck = z0wave(ustar, tauw, u10, params)

@@ -28,6 +28,7 @@ import numpy as np
 from ecwam_tpu.core import constants as c
 from ecwam_tpu.core import physparams as pp
 from ecwam_tpu.ops.physics import airsea as airsea_mod
+from ecwam_tpu.ops.physics import gc as gc_mod
 from ecwam_tpu.ops.physics import dia as dia_mod
 from ecwam_tpu.ops.physics import fluxes as fluxes_mod
 from ecwam_tpu.ops.physics import means as means_mod
@@ -113,11 +114,14 @@ def sinflx(icall, ncall, cfg: PhysicsConfig, fl1, env, frc, flm,
             fl1 = fl1.at[:, -1, :].set(
                 jnp.maximum(fl1[:, -1, :], flm))
             if params.llgcbz0:
-                raise NotImplementedError("HALPHAP/LLGCBZ0")
-            halp = jnp.zeros_like(fmean)
+                halp = gc_mod.halphap(
+                    fl1, env["wavnum"], coswdif, tb, params)
+            else:
+                halp = jnp.zeros_like(fmean)
         _, ufric, z0m, z0b, chrnck = airsea_mod.airsea(
             frc["wswave"], frc["wdwave"], tauw, tauwdir, ufric, params,
-            icode_wnd=3, iusfg=0 if icall == 1 else 1)
+            icode_wnd=3, iusfg=0 if icall == 1 else 1,
+            halp=halp, rnfac=rnfac)
 
     ngst = 1 if icall < ncall else 2
     llsneg = icall >= ncall

@@ -69,9 +69,6 @@ def tau_phi_hf(mij, ufric, z0m, fl1, aird, rnfac, coswdif, sinwdif2,
     """
     dt = fl1.dtype
     nang, nfre, npts = fl1.shape
-    if params.llgcbz0:
-        raise NotImplementedError("LLGCBZ0 tail model not yet implemented")
-
     jtot = tables.JTOT_TAUHF
     wtauhf = jnp.asarray(wtauhf, dt)
     x0g = x0tauhf * c.G
@@ -84,7 +81,14 @@ def tau_phi_hf(mij, ufric, z0m, fl1, aird, rnfac, coswdif, sinwdif2,
     sqrtz0og = jnp.sqrt(z0m * c.GM1)
     sqrtgz0 = 1.0 / sqrtz0og
     zinf = jnp.log(omegacc * sqrtz0og)
-    zsup = jnp.zeros_like(zinf)                        # log(1)
+    if params.llgcbz0:
+        # TAUHF integral stops at the gravity-capillary cut-off
+        # (tau_phi_hf.F90:125-127, 190-193); PHIHF keeps the full range.
+        from ecwam_tpu.ops.physics import gc as gc_mod
+        _, _, oms = gc_mod.omegagc(ufric, gc_mod.gc_tables())
+        zsup = jnp.minimum(jnp.log(oms * sqrtz0og), 0.0)
+    else:
+        zsup = jnp.zeros_like(zinf)                    # log(1)
 
     consttau = c.ZPI4GM2 * fr5_mij
 
@@ -107,8 +111,11 @@ def tau_phi_hf(mij, ufric, z0m, fl1, aird, rnfac, coswdif, sinwdif2,
         const2 = jnp.zeros((npts,), dt)
 
     delz = jnp.maximum((zsup - zinf) / (jtot - 1), 0.0)
+    # PHIHF always integrates the full range up to log(1)=0
+    # (tau_phi_hf.F90:251-254)
+    delz_phi = jnp.maximum((0.0 - zinf) / (jtot - 1), 0.0)
 
-    def zbeta_at(j, u):
+    def zbeta_at(j, u, delz=delz):
         y = jnp.exp(zinf + j * delz)
         omega = y * sqrtgz0
         cm1 = omega * c.GM1
@@ -148,10 +155,10 @@ def tau_phi_hf(mij, ufric, z0m, fl1, aird, rnfac, coswdif, sinwdif2,
         if ltauwshelter:
             def bodyp(j, carry):
                 taul, ustph, acc = carry
-                zbeta, y = zbeta_at(j, ustph)
+                zbeta, y = zbeta_at(j, ustph, delz_phi)
                 znz = zbeta * ust_out * y
                 gamnorma = (1.0 + const1 * znz) / (1.0 + const2 * znz)
-                fnc2 = zbeta * taul * wtauhf[j] * delz * gamnorma
+                fnc2 = zbeta * taul * wtauhf[j] * delz_phi * gamnorma
                 taul = jnp.maximum(
                     taul - params.tauwshelter * f1dcos3 * consttau * fnc2, 0.0)
                 return taul, jnp.sqrt(taul), acc + fnc2 / y
@@ -161,12 +168,12 @@ def tau_phi_hf(mij, ufric, z0m, fl1, aird, rnfac, coswdif, sinwdif2,
         else:
             def bodyp(j, carry):
                 acc, = carry
-                zbeta, y = zbeta_at(j, ust)
+                zbeta, y = zbeta_at(j, ust, delz_phi)
                 znz = zbeta * ust * y
                 gamnorma = (1.0 + const1 * znz) / (1.0 + const2 * znz)
                 return (acc + zbeta * wtauhf[j] * gamnorma / y,)
             acc, = jax.lax.fori_loop(0, jtot, bodyp, (jnp.zeros_like(ust),))
-            phihf = f1dcos2 * constphi * sqrtz0og * taulp0 * acc * delz
+            phihf = f1dcos2 * constphi * sqrtz0og * taulp0 * acc * delz_phi
     return tauhf, phihf, ust_out
 
 
