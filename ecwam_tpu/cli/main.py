@@ -157,7 +157,8 @@ def run_model(cfg: RunConfig, rundir: str, *, dtype=None, quiet=False):
         d14 = _fmt14(date)
         fields = products_mod.compute(
             known, model.fl1, ms.tb, {**model.state, **model.stress},
-            model.frc, ms.phys.params)
+            model.frc, ms.phys.params, env=ms.env,
+            llgcbz0=ms.phys.params.llgcbz0)
         host = {n: np.asarray(fields[n])[: ms.n_real] for n in known}
         for n in known:
             log.add(n, d14, host[n])

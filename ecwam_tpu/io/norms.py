@@ -17,7 +17,19 @@ import numpy as np
 # used only for the cosmetic IDX column
 PARAM_INDEX = {"swh": 1, "mwd": 2, "mwp": 3, "ustar": 4, "dwi": 5,
                "pp1d": 6, "cdww": 7, "tauw_over_ust2": 8, "mss": 9,
-               "wind": 10, "mwp1": 20, "mwp2": 21}
+               "msqs": 9, "wind": 10, "shww": 11, "shts": 12, "mdww": 13,
+               "mdts": 14, "mpww": 15, "mpts": 16, "mp1": 20, "mwp1": 20,
+               "mp2": 21, "mwp2": 21, "wdw": 22, "p1ww": 23, "p1ps": 24,
+               "p2ww": 25, "p2ps": 26, "dwww": 27, "dwps": 28, "wsk": 29,
+               "bfi": 30, "wsp": 31, "wmb": 32, "hmax": 33, "tmax": 34,
+               "ust": 35, "vst": 36, "ocu": 37, "vcu": 38, "p039": 39,
+               "p040": 40, "p041": 41, "p042": 42, "p043": 43, "p044": 44,
+               "p045": 45, "p046": 46, "p047": 47, "p048": 48, "p049": 49,
+               "p050": 50, "p051": 51, "p052": 52, "p053": 53, "p054": 54,
+               "ci": 55, "p056": 56, "p057": 57, "p062": 62, "p063": 63,
+               "p064": 64, "p065": 65, "p066": 66, "p067": 67, "p068": 68,
+               "p069": 69, "p070": 70, "p071": 71, "p072": 72, "p073": 73,
+               "p074": 74, "p075": 75, "p076": 76, "p077": 77}
 
 
 def ieee_hex(x: float) -> str:
