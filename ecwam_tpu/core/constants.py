@@ -11,20 +11,21 @@ from __future__ import annotations
 import math
 
 # Gravity & geometry (yowpcons.F90:19-32)
+# The reference hard-codes single-precision-era decimal literals for π and
+# its derived constants (yowpcons.F90:21-31: ZPI=6.2831854 ≠ 2π, …).  We adopt
+# the same literals so f64 runs are term-by-term comparable with the
+# reference numerics (oracle tests in tests/oracle/ pin this at ≤1e-10); the
+# ~1e-8 relative deviation from true π is far below operational f32 noise.
 G = 9.806
-GM1 = 1.0 / G                      # reference stores rounded 0.101978381
-# The reference uses a single-precision-era PI constant everywhere
-# (yowpcons.F90:21-28).  We keep full double precision; validation against the
-# reference is at the 1e-4..1e-6 level where this is irrelevant, and a
-# "legacy_pi" switch can be added if bit-matching is ever attempted.
-PI = math.pi
-ZPI = 2.0 * math.pi
-THREEZPI = 3.0 * ZPI
-ZPI4GM1 = ZPI**4 * GM1             # (2π)⁴/g
-ZPI4GM2 = ZPI**4 * GM1 * GM1       # (2π)⁴/g²
-ZPISQRT = math.sqrt(math.pi)
-RAD = PI / 180.0
-DEG = 180.0 / PI
+GM1 = 0.101978381                  # 1/G rounded as in yowpcons.F90:20
+PI = 3.1415927                     # yowpcons.F90:21-22 (OLDPI)
+ZPI = 6.2831854                    # yowpcons.F90:24
+THREEZPI = 18.849555922            # yowpcons.F90:25
+ZPI4GM1 = 158.93794172             # (2π)⁴/g   (yowpcons.F90:26)
+ZPI4GM2 = 16.208233910             # (2π)⁴/g²  (yowpcons.F90:27)
+ZPISQRT = 1.7724539                # yowpcons.F90:28
+RAD = 0.017453293                  # yowpcons.F90:30
+DEG = 57.295778667                 # yowpcons.F90:31
 R_EARTH = 6367470.0                # radius of the earth (m)
 CIRC = 40007993.95                 # circumference of the earth (m)
 

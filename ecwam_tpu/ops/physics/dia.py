@@ -90,9 +90,9 @@ def build_dia_tables(nang: int, nfre: int, fr: np.ndarray,
     # ---- angular geometry (nlweigt.F90:100-170)
     xf = ((1.0 + ALAMD) / (1.0 - ALAMD)) ** 4
     costh3 = (1.0 + 2.0 * ALAMD + 2.0 * ALAMD**3) / (1.0 + ALAMD) ** 2
-    delphi1 = -180.0 / math.pi * math.acos(costh3)
+    delphi1 = -180.0 / c.PI * math.acos(costh3)   # reference PI literal
     costh4 = math.sqrt(1.0 - xf + xf * costh3**2)
-    delphi2 = 180.0 / math.pi * math.acos(costh4)
+    delphi2 = 180.0 / c.PI * math.acos(costh4)
     deltha = delth * c.DEG
     cl1 = delphi1 / deltha
     cl2 = delphi2 / deltha
@@ -309,23 +309,6 @@ def build_dia_tables(nang: int, nfre: int, fr: np.ndarray,
         ic=ic_a, ip=ip_a, ip1=ip1_a, im=im_a, im1=im1_a, rnl=rnl,
         k1w=k1w[1:] - 1, k2w=k2w[1:] - 1,
         k11w=k11w[1:] - 1, k21w=k21w[1:] - 1)
-
-
-def transf(xk, depth):
-    """Shallow-water nonlinear-transfer enhancement (transf.F90:26-40)."""
-    x = xk * depth
-    xs = jnp.minimum(x, c.DKMAX)
-    t0 = jnp.tanh(xs)
-    om = jnp.sqrt(c.G * xk * t0)
-    c0 = om / xk
-    vg = jnp.where(xs < 1.0e-4, c0,
-                   0.5 * c0 * (1.0 + 2.0 * xs / jnp.sinh(2.0 * xs)))
-    dvg = (t0 - xs * (1.0 - t0**2)) ** 2 + 4.0 * xs**2 * t0**2 * (1.0 - t0**2)
-    xnl1 = (9.0 * t0**4 - 10.0 * t0**2 + 9.0) / (8.0 * t0**3)
-    xnl2 = ((2.0 * vg - 0.5 * c0) ** 2 / (c.G * depth - vg**2) + 1.0) / xs
-    val = (xnl1 - xnl2) ** 2 / (dvg * t0**8)
-    return jnp.where((depth < BATHYMAX) & (depth > 0.0) & (x <= c.DKMAX),
-                     val, 1.0)
 
 
 def transf(xk, depth):

@@ -43,11 +43,22 @@ def sdiwbk(fl1, fld, sl, depth, emaxdpt, emean, f1mean, nfre_red: int,
     alph = 2.0 * emaxdpt / emean
     arg = jnp.minimum(alph, 50.0)
 
-    def newton(_, q):
-        expq = jnp.exp(-arg * (1.0 - q))
-        return q - (expq - q) / (arg * expq - 1.0)
+    # Newton iteration with the reference's early exit (sdiwbk.F90:64-71):
+    # once |q−q_old|/q_old < 1e-5 the value is frozen — the reference uses
+    # the just-updated q, so convergence order matters at the 1e-5 level.
+    def newton(_, carry):
+        q_old, q_out, done = carry
+        expq = jnp.exp(-arg * (1.0 - q_old))
+        q = q_old - (expq - q_old) / (arg * expq - 1.0)
+        rel_err = jnp.abs(q - q_old) / q_old
+        q_out = jnp.where(done, q_out, q)
+        done_new = done | (rel_err < 1.0e-5)
+        q_old = jnp.where(done_new, q_old, q)
+        return q_old, q_out, done_new
 
-    q = jax.lax.fori_loop(0, 15, newton, jnp.exp(-arg))
+    q0 = jnp.exp(-arg)
+    _, q, _ = jax.lax.fori_loop(
+        0, 15, newton, (q0, q0, jnp.zeros(q0.shape, bool)))
     q = jnp.minimum(q, 1.0)
     sds = 2.0 * alph * q * f1mean                     # COEF_B_J = 2
     active = depth < DEPTHTRS

@@ -158,9 +158,13 @@ def test_swell_trains_bimodal_swell():
                           np.full(npts, 2.0), np.zeros(npts), tb)
     em = tr["emtrain"]
     assert (em[:, 0] > 0).all() and (em[:, 1] > 0).all()
-    # train energies are distinct systems: the stronger ≈2× the weaker
+    # Expected energy ratio: both systems occupy identical 3×3 stencils, so
+    # em = Σ F·DFIM reduces to amplitude × Σ dfim over the stencil rows.
+    # System A has 2× the amplitude of B but sits 5 frequency bins lower and
+    # DFIM ∝ fr ∝ 1.1^m, hence em_A/em_B = 2/1.1⁵ ≈ 1.2418 — NOT 2.
     ratio = em[:, 0] / em[:, 1]
-    assert (ratio > 1.3).all() and (ratio < 3.5).all(), ratio
+    expected = 2.0 / 1.1**5
+    np.testing.assert_allclose(ratio, expected, rtol=0.05)
     # train directions match the two seeded systems
     th = np.degrees(tr["thtrain"])
     th_a = np.degrees(tb.th[2])
