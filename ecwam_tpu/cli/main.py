@@ -29,17 +29,83 @@ def _fmt14(d: _dt.datetime) -> str:
     return d.strftime(DATE_FMT)
 
 
-def _build_model(cfg: RunConfig, dtype=None):
+class BathymetryUnavailable(RuntimeError):
+    """Raised when a config requests real bathymetry that cannot be built.
+
+    The reference preproc aborts when wam_topo is missing (preproc.F90
+    TOPOAR read); a silent aqua fallback would make every downstream
+    validation meaningless, so this is a hard error.
+    """
+
+
+def _resolve_bathymetry(cfg: RunConfig, rundir: str | None = None):
+    """Resolve the config's bathymetry request to (bathy, obstructions).
+
+    Accepted values of ``cfg.bathymetry``:
+      'aqua'            — aqua planet (land polar rows only)
+      <path>.npz        — either preprocessed grid tables (fields bathy /
+                          kobslat / kobslon / kobscor) or raw topo data
+                          (fields invres / elev) that is preprocessed here
+      'ETOPO1'          — looks for ETOPO1.npz / wam_topo.npz in rundir
+    Raises BathymetryUnavailable instead of falling back.
+    """
+    if cfg.bathymetry == "aqua":
+        return None, None
+    candidates = [cfg.bathymetry]
+    if rundir:
+        candidates.append(os.path.join(rundir, cfg.bathymetry))
+        candidates.append(os.path.join(rundir, "wam_topo.npz"))
+    if cfg.bathymetry.upper().startswith("ETOPO"):
+        for d in filter(None, (rundir, ".")):
+            candidates += [os.path.join(d, "ETOPO1.npz"),
+                           os.path.join(d, "wam_topo.npz")]
+    path = next((p for p in candidates
+                 if p.endswith(".npz") and os.path.exists(p)), None)
+    if path is None:
+        raise BathymetryUnavailable(
+            f"bathymetry {cfg.bathymetry!r} requested but no input data "
+            f"found (searched {candidates}); provide a topo .npz "
+            "(fields invres/elev) or preprocessed tables "
+            "(bathy/kobslat/kobslon/kobscor), or set 'bathymetry: aqua'")
+    with np.load(path) as z:
+        if "bathy" in z:
+            obs = None
+            if "kobslat" in z:
+                obs = dict(kobslat=z["kobslat"], kobslon=z["kobslon"],
+                           kobscor=z["kobscor"])
+            return np.asarray(z["bathy"]), obs
+    # raw topo: run the full preprocessor
+    from ecwam_tpu.core import bathy as bathy_mod
+    from ecwam_tpu.core.spectral import build_spectral_tables
+    grid = _grid_from_cfg(cfg)
+    tb = build_spectral_tables(nang=cfg.directions, nfre=cfg.frequencies)
+    topo = bathy_mod.load_topo(path)
+    b, obs = bathy_mod.make_bathymetry(
+        topo, grid, tb.fr, cfg.build_kwargs().get("nfre_red")
+        or cfg.frequencies)
+    return b, obs
+
+
+def _grid_from_cfg(cfg: RunConfig):
+    from ecwam_tpu.core.grid import octahedral_grid, regular_grid
+    if cfg.grid.startswith("O"):
+        return octahedral_grid(int(cfg.grid[1:]))
+    return regular_grid(float(cfg.grid))
+
+
+def _build_model(cfg: RunConfig, dtype=None, rundir: str | None = None):
     import jax.numpy as jnp
     from ecwam_tpu.model import setup as setup_mod
+    from ecwam_tpu.core import bathy as bathy_mod
     kw = cfg.build_kwargs()
-    if cfg.bathymetry not in ("aqua",):
-        bathy_path = cfg.bathymetry
-        if os.path.exists(bathy_path):
-            kw["bathy"] = np.load(bathy_path)["bathy"]
-        else:
-            print(f"[ecwave] bathymetry {cfg.bathymetry!r} not available "
-                  "— falling back to aqua planet", file=sys.stderr)
+    b, obs = _resolve_bathymetry(cfg, rundir)
+    if b is not None:
+        kw["bathy"] = b
+    if obs is not None:
+        grid = _grid_from_cfg(cfg)
+        from ecwam_tpu.core.grid import build_sea_point_block
+        blk = build_sea_point_block(grid, b)
+        kw["obstructions"] = bathy_mod.obstructions_to_block(obs, blk)
     return setup_mod.build_model(dtype=dtype or jnp.float32, **kw)
 
 
@@ -65,17 +131,28 @@ def _forcing_provider(cfg: RunConfig, ms, rundir: str):
 
 
 def cmd_preproc(args):
-    """Grid/bathymetry preprocessing → wam_grid_tables.npz equivalent."""
+    """Grid/bathymetry preprocessing → wam_grid_tables.npz equivalent.
+
+    Builds the sea-point block AND, for real bathymetry, the per-direction
+    sub-grid obstruction tables (preproc.F90 TOPOAR/MGRID/MUBUF chain).
+    Hard-fails when the requested bathymetry input is missing.
+    """
     cfg = RunConfig.from_yaml(args.config)
-    ms = _build_model(cfg)
+    b, obs = _resolve_bathymetry(cfg, args.rundir)
+    ms = _build_model(cfg, rundir=args.rundir)
     os.makedirs(args.rundir, exist_ok=True)
     fn = os.path.join(args.rundir, "wam_grid_tables.npz")
+    extra = {}
+    if b is not None:
+        extra["bathy"] = b
+    if obs is not None:
+        extra.update(obs)
     np.savez_compressed(
         fn, grid=cfg.grid, nang=cfg.directions, nfre=cfg.frequencies,
         nsea=ms.blk.nsea, ixlg=ms.blk.ixlg, kxlt=ms.blk.kxlt,
         depth=ms.blk.depth, nlonrgg=ms.grid.nlonrgg,
         xdella=ms.grid.xdella, zdello=ms.grid.zdello,
-        amowep=ms.grid.amowep, amosop=ms.grid.amosop)
+        amowep=ms.grid.amowep, amosop=ms.grid.amosop, **extra)
     print(f"wrote {fn} ({ms.blk.nsea} sea points)")
     return 0
 
@@ -89,7 +166,7 @@ def cmd_preset(args):
     import jax.numpy as jnp
 
     cfg = RunConfig.from_yaml(args.config)
-    ms = _build_model(cfg)
+    ms = _build_model(cfg, rundir=args.rundir)
     provider = _forcing_provider(cfg, ms, args.rundir)
     date14 = _fmt14(cfg.begin)
     raw = provider(date14)
@@ -113,7 +190,7 @@ def run_model(cfg: RunConfig, rundir: str, *, dtype=None, quiet=False):
     from ecwam_tpu.model import driver as driver_mod
 
     os.makedirs(rundir, exist_ok=True)
-    ms = _build_model(cfg, dtype=dtype)
+    ms = _build_model(cfg, dtype=dtype, rundir=rundir)
     provider = _forcing_provider(cfg, ms, rundir)
 
     # resume from a restart at `begin` if present (GETSPEC role)

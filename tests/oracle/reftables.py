@@ -21,6 +21,7 @@ G = 9.806
 GM1 = 0.101978381
 PI = 3.1415927
 ZPI = 6.2831854
+ZPI4GM1 = 158.93794172
 ZPI4GM2 = 16.208233910
 DEG = 57.295778667
 RAD = 0.017453293

@@ -29,9 +29,10 @@ def test_metric_terms():
     # delphi = xdella * circumference / 360
     assert abs(wg.delphi - wg.xdella * 40007993.95 / 360.0) < 1e-6
     # cosph capped at 87.5 deg
-    assert wg.cosph[0] >= np.cos(np.deg2rad(87.5)) - 1e-12
+    from ecwam_tpu.core import constants as c
+    assert wg.cosph[0] >= np.cos(87.5 * c.RAD) - 1e-12  # reference RAD literal
     np.testing.assert_allclose(
-        wg.cosph[48], np.cos(np.deg2rad(wg.lats[48])), rtol=1e-12)
+        wg.cosph[48], np.cos(wg.lats[48] * c.RAD), rtol=1e-12)
 
 
 def test_sea_point_block_aqua():

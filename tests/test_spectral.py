@@ -18,7 +18,8 @@ def test_frequency_ladder_matches_reference_formula():
 
 def test_directions_centered_bins():
     t = build_spectral_tables(nang=12, nfre=25)
-    assert math.isclose(t.delth, 2 * math.pi / 12)
+    from ecwam_tpu.core import constants as c
+    assert math.isclose(t.delth, c.ZPI / 12)  # reference ZPI literal
     np.testing.assert_allclose(t.th[0], 0.5 * t.delth)
     np.testing.assert_allclose(np.diff(t.th), t.delth)
 
