@@ -1,10 +1,17 @@
 """Sharded (multi-chip) model step: shard_map over a 1-D device mesh.
 
-TPU-native replacement for the reference's MPI halo exchange
-(/root/reference/src/ecwam/mpexchng.F90:116-255): the point axis is sharded
-contiguously (latitude bands); each step exchanges fixed-width boundary
-slabs with both neighbours via ``jax.lax.ppermute`` over ICI, then runs the
-local CTU stencil and the point-local physics.
+TPU-native replacement for the reference's MPI layer:
+  - halo exchange (mpexchng.F90:116-255) → fixed-width boundary slabs via
+    ``jax.lax.ppermute`` over ICI, on a row-aligned 1-D point decomposition
+    (see parallel/decomp.py)
+  - PROENVHALO (proenvhalo.F90:1-113) → halo exchange of the wave-property
+    and current fields feeding the refraction terms and the CTU weights
+  - CTUWUPDT weight caching (propag_wam.F90:221-236, LUPDTWGHT): weights
+    are computed once in their own jitted shard_map and cached on device;
+    :meth:`ShardedModel.refresh_weights` re-derives them when depth or
+    currents change (GETCURR → LUPDTWGHT)
+  - PROPDOT + the CFL current-retry (ctuw.F90:114-123) run inside the
+    weights computation with full feature parity to the single-chip path
 
 Physics is embarrassingly parallel over points, so it runs inside the same
 shard_map with no collectives; reductions for norms use ``psum`` outside.
@@ -25,6 +32,9 @@ from ecwam_tpu.model.setup import ModelSetup
 from ecwam_tpu.ops import propagation as prop
 from ecwam_tpu.ops.physics import implsch as impl
 from ecwam_tpu.parallel import decomp
+
+ENV_POINT_FIELDS = ("wavnum", "cinv", "cgroup", "xk2cg", "omosnh2kd",
+                    "stokfac", "depth", "emaxdpt", "ucur", "vcur")
 
 
 def _stencil_arrays(ss: decomp.ShardedStencil) -> dict:
@@ -74,33 +84,72 @@ def halo_exchange(f_local, halo: int, axis: str, land_col=None):
 
 @dataclasses.dataclass
 class ShardedModel:
-    """Jitted sharded step bundle."""
+    """Jitted sharded step bundle with cached CTU weights."""
 
     setup: ModelSetup
     mesh: Mesh
     sharded_stencil: decomp.ShardedStencil
-    step_full: object        # (fl1, frc, stress) -> (fl1, state)
     shard_spec: object
+    _step: object = dataclasses.field(repr=False, default=None)
+    _compute_weights: object = dataclasses.field(repr=False, default=None)
+    _stencil_dev: dict = dataclasses.field(repr=False, default=None)
+    _env_dev: dict = dataclasses.field(repr=False, default=None)
+    _weights: object = dataclasses.field(repr=False, default=None)
 
-    def device_put(self, arr, point_axis: int = -1):
-        spec = [None] * arr.ndim
-        spec[point_axis] = "pts"
-        return jax.device_put(
-            arr, NamedSharding(self.mesh, P(*spec)))
+    # -- layout mapping -----------------------------------------------
+    def to_layout(self, arr, point_axis: int = -1):
+        return self.sharded_stencil.to_layout(np.asarray(arr), point_axis)
+
+    def from_layout(self, arr, point_axis: int = -1):
+        return self.sharded_stencil.from_layout(
+            np.asarray(arr), point_axis, n_global=self.setup.n_pad)
+
+    def device_put(self, arr, point_axis: int = -1, *, layout=False):
+        """Place a GLOBAL per-point array on the mesh (reordering it into
+        the row-aligned layout first unless ``layout`` is True)."""
+        a = np.asarray(arr) if layout else self.to_layout(arr, point_axis)
+        spec = [None] * a.ndim
+        spec[point_axis if point_axis >= 0 else a.ndim + point_axis] = "pts"
+        return jax.device_put(a, NamedSharding(self.mesh, P(*spec)))
+
+    # -- weights ------------------------------------------------------
+    def refresh_weights(self, ucur=None, vcur=None):
+        """Recompute the CTU weights (LUPDTWGHT); pass new currents as
+        GLOBAL (n_pad,) arrays to mimic GETCURR → weight refresh."""
+        env = dict(self._env_dev)
+        if ucur is not None:
+            env["ucur"] = self.device_put(np.asarray(ucur))
+            env["vcur"] = self.device_put(np.asarray(vcur))
+            self._env_dev = env
+        self._weights = self._compute_weights(self._stencil_dev, env)
+        return self._weights
+
+    @property
+    def weights(self):
+        if self._weights is None:
+            self.refresh_weights()
+        return self._weights
+
+    def step_full(self, fl1, frc, stress):
+        return self._step(fl1, frc, stress, self.weights,
+                          self._stencil_dev, self._env_dev)
+
 
 
 def build_sharded_model(setup: ModelSetup, mesh: Mesh) -> ShardedModel:
     """Assemble the sharded step for a 1-D mesh with axis name 'pts'."""
     n_shards = mesh.devices.size
-    assert setup.n_pad % n_shards == 0, (setup.n_pad, n_shards)
-    ss = decomp.build_sharded_stencil(setup.stencil, n_shards)
+    ss = decomp.build_sharded_stencil(
+        setup.stencil, n_shards,
+        row_start=np.asarray(setup.blk.row_start))
     halo = ss.halo
     tb = setup.tb
     nfre_red = tb.nfre_red
 
     stencil_args = _stencil_arrays(ss)
-    env = {k: np.asarray(v) for k, v in setup.env.items()
-           if not k.endswith("_ext")}
+    # env in layout order (pads replicate point 0 like the trailing pads)
+    env = {k: ss.to_layout(np.asarray(setup.env[k]))
+           for k in ENV_POINT_FIELDS if k in setup.env}
 
     pt = P("pts")
     specs_pt_last = P(None, None, "pts")
@@ -115,35 +164,105 @@ def build_sharded_model(setup: ModelSetup, mesh: Mesh) -> ShardedModel:
 
     own = slice(halo, halo + ss.shard_size)
 
-    cg_land = np.asarray(setup.env["cgroup_ext"])[:nfre_red, -1]
+    # land-slot columns for the PROENVHALO exchanges
+    land_cols = {k: np.asarray(setup.env[f"{k}_ext"])[..., -1]
+                 for k in ("wavnum", "cgroup", "omosnh2kd", "depth")}
+    land_cols["ucur"] = land_cols["vcur"] = 0.0
+    cg_land = land_cols["cgroup"][:nfre_red]
 
-    def local_step(fl1, frc, stress, sargs, envl):
+    # ---------------- weights (CTUWUPDT + PROPDOT, cached) ------------
+    def local_weights(sargs, envl):
         st = _local_stencil(sargs, ss.xdella)
-        # halo-extended group speed for the weights (PROENVHALO role);
-        # the land slot carries deep-water cg (WVPRPT_LAND)
         cg_ext = halo_exchange(envl["cgroup"][:nfre_red], halo, "pts",
                                land_col=cg_land)
+        refr = {}
+        if setup.irefra:
+            wavnum_ext = halo_exchange(
+                envl["wavnum"][:nfre_red], halo, "pts",
+                land_col=land_cols["wavnum"][:nfre_red])
+            omos_ext = halo_exchange(
+                envl["omosnh2kd"][:nfre_red], halo, "pts",
+                land_col=land_cols["omosnh2kd"][:nfre_red])
+            depth_ext = halo_exchange(envl["depth"], halo, "pts",
+                                      land_col=land_cols["depth"])
+            u_ext = halo_exchange(envl["ucur"], halo, "pts")
+            v_ext = halo_exchange(envl["vcur"], halo, "pts")
+            thdd, thdc, sdot = prop.propdot(
+                st, tb, wavnum_ext, cg_ext, omos_ext,
+                depth_ext, u_ext, v_ext, setup.irefra, own=own)
+            refr = dict(thdd=thdd, thdc=thdc, sdot=sdot,
+                        omosnh2kd_ext=omos_ext, u_ext=u_ext, v_ext=v_ext)
+
+        def bands(refr_):
+            if setup.ifrelfmax > 0:
+                w_lf = prop.ctuw_weights(
+                    setup.delpro_lf, st, tb, cg_ext,
+                    mstart=0, mend=setup.ifrelfmax,
+                    irefra=setup.irefra, own=own, **refr_)
+                w_hf = prop.ctuw_weights(
+                    setup.idelpro, st, tb, cg_ext,
+                    mstart=setup.ifrelfmax, mend=nfre_red,
+                    irefra=setup.irefra, own=own, **refr_)
+                return (w_lf, w_hf)
+            return (prop.ctuw_weights(setup.idelpro, st, tb, cg_ext,
+                                      irefra=setup.irefra, own=own,
+                                      **refr_),)
+
+        w = bands(refr)
+        if setup.irefra in (2, 3):
+            fail = w[0]["cflfail"]
+            for wb in w[1:]:
+                fail = fail | wb["cflfail"]
+            curmask = 1.0 - fail.astype(cg_ext.dtype)
+            refr2 = dict(refr, thdc=refr["thdc"] * curmask[None, :],
+                         sdot=refr["sdot"] * curmask[None, None, :])
+            w = bands(refr2)
+        # strip the static ints (mstart/mend) — re-attached outside
+        return tuple({k: v for k, v in wb.items()
+                      if k not in ("mstart", "mend")} for wb in w)
+
+    # out specs for the weight pytree (point axis = 2, cflfail = axis 0)
+    band_spec = dict(
+        sumwn=P(None, None, "pts"),
+        wlonn=P(None, None, "pts", None),
+        wlatn=P(None, None, "pts", None, None),
+        wcorn=P(None, None, "pts", None, None),
+        wkpmn=P(None, None, "pts", None),
+        wmpmn=(P(None, None, "pts", None)
+               if setup.irefra in (2, 3) else None),
+        cflfail=P("pts"))
+    nbands = 2 if setup.ifrelfmax > 0 else 1
+    w_specs = tuple(dict(band_spec) for _ in range(nbands))
+
+    mapped_weights = jax.shard_map(
+        local_weights, mesh=mesh,
+        in_specs=(stencil_specs, env_specs),
+        out_specs=w_specs, check_vma=False)
+    jit_weights = jax.jit(mapped_weights)
+
+    mbounds = ((0, setup.ifrelfmax), (setup.ifrelfmax, nfre_red)) \
+        if setup.ifrelfmax > 0 else ((0, nfre_red),)
+
+    # ---------------- step --------------------------------------------
+    def local_step(fl1, frc, stress, weights, sargs, envl):
+        st = _local_stencil(sargs, ss.xdella)
+        wlist = tuple(dict(wb, mstart=mb[0], mend=mb[1])
+                      for wb, mb in zip(weights, mbounds))
         if setup.ifrelfmax > 0:
-            w_lf = prop.ctuw_weights(
-                setup.delpro_lf, st, tb, cg_ext,
-                mstart=0, mend=setup.ifrelfmax, own=own)
-            w_hf = prop.ctuw_weights(
-                setup.idelpro, st, tb, cg_ext,
-                mstart=setup.ifrelfmax, mend=nfre_red, own=own)
+            w_lf, w_hf = wlist
             nsub = max(1, round(setup.idelpro / setup.delpro_lf))
             lf = fl1[:, : setup.ifrelfmax]
             for _ in range(nsub):
                 lf = prop.propags2(
                     halo_exchange(lf, halo, "pts"), w_lf, st, tb, own=own)
             hf = prop.propags2(
-                halo_exchange(fl1[:, setup.ifrelfmax:nfre_red], halo, "pts"),
-                w_hf, st, tb, own=own)
+                halo_exchange(fl1[:, setup.ifrelfmax:nfre_red], halo,
+                              "pts"), w_hf, st, tb, own=own)
             adv = jnp.concatenate([lf, hf], axis=1)
         else:
-            w = prop.ctuw_weights(setup.idelpro, st, tb, cg_ext, own=own)
             adv = prop.propags2(
-                halo_exchange(fl1[:, :nfre_red], halo, "pts"), w, st, tb,
-                own=own)
+                halo_exchange(fl1[:, :nfre_red], halo, "pts"), wlist[0],
+                st, tb, own=own)
         if nfre_red < tb.nfre:
             fl1 = jnp.concatenate([adv, fl1[:, nfre_red:]], axis=1)
         else:
@@ -170,7 +289,7 @@ def build_sharded_model(setup: ModelSetup, mesh: Mesh) -> ShardedModel:
 
     mapped = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(specs_pt_last, frc_specs, stress_specs,
+        in_specs=(specs_pt_last, frc_specs, stress_specs, w_specs,
                   stencil_specs, env_specs),
         out_specs=(specs_pt_last, state_specs),
         check_vma=False)
@@ -187,9 +306,8 @@ def build_sharded_model(setup: ModelSetup, mesh: Mesh) -> ShardedModel:
 
     _jit_step = jax.jit(mapped)
 
-    def step_full(fl1, frc, stress):
-        return _jit_step(fl1, frc, stress, stencil_dev, env_dev)
-
     return ShardedModel(
         setup=setup, mesh=mesh, sharded_stencil=ss,
-        step_full=step_full, shard_spec=specs_pt_last)
+        shard_spec=specs_pt_last,
+        _step=_jit_step, _compute_weights=jit_weights,
+        _stencil_dev=stencil_dev, _env_dev=env_dev)
