@@ -2,38 +2,76 @@
 
 Prints ONE JSON line:
   {"metric": "point_bins_per_s_per_chip", "value": N, "unit": "bins/s",
-   "vs_baseline": F}
+   "vs_baseline": F, ...}
 
-Metric: grid-points × spectral-bins advanced per second for a FULL step
-(CTU advection + semi-implicit physics), the north-star from BASELINE.md.
-``vs_baseline`` is the fraction of the HBM speed-of-light estimate for this
-chip: the step is bandwidth-bound at roughly R ≈ 100 B of HBM traffic per
-bin (state + weights + source terms), so SOL ≈ BW / R.
+Metric: grid-points × spectral-bins advanced per second for one advection
+step at the operational cadence — advection every step, physics every
+``idelt/idelpro`` steps — on the largest aqua O-grid that fits this chip
+at the O1280 spectral resolution (36 dirs × 29 freqs, Δt 450/900 s;
+BASELINE.md problem sizes), using the memory-scalable on-the-fly weights
+path.
+
+``vs_baseline`` is an HONEST fraction-of-roofline: the achieved HBM
+traffic (XLA's own cost analysis of the compiled step — "bytes accessed"
+— divided by the measured step time) over this chip's MEASURED stream
+bandwidth (a saturating triad kernel timed in the same process).  All the
+inputs to the ratio are printed so it can be audited; values near 1 mean
+the step runs at memory speed-of-light.
+
+Env knobs: ECWAVE_BENCH_GRID (skip auto-sizing), ECWAVE_BENCH_STEPS,
+ECWAVE_BENCH_PROFILE=dir (write a jax.profiler trace of the timed loop).
 """
 
 import json
 import os
-import sys
 import time
 
-import numpy as np
+
+def measure_stream_bw(jax, jnp, nbytes=2 << 30):
+    """Measured triad bandwidth (bytes/s): y = a*x + y over ~2 GB."""
+    n = nbytes // 8                    # two f32 arrays
+    x = jnp.arange(n, dtype=jnp.float32)
+    y = jnp.ones(n, dtype=jnp.float32)
+
+    @jax.jit
+    def triad(x, y):
+        return 1.0001 * x + y
+
+    triad(x, y).block_until_ready()
+    reps = 8
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = triad(x, y)
+    y.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return 3.0 * n * 4 / dt            # read x, read y, write y
 
 
-def main():
-    size = os.environ.get("ECWAVE_BENCH_GRID", "O96")
-    nang = int(os.environ.get("ECWAVE_BENCH_NANG", "24"))
-    nfre = int(os.environ.get("ECWAVE_BENCH_NFRE", "29"))
-    steps = int(os.environ.get("ECWAVE_BENCH_STEPS", "10"))
+def cost_bytes(lowered):
+    """XLA 'bytes accessed' for a lowered computation (NaN if missing)."""
+    try:
+        c = lowered.compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c.get("bytes accessed", float("nan")))
+    except Exception:
+        return float("nan")
 
+
+def run_grid(grid_name, steps, profile_dir):
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from ecwam_tpu.model import setup as setup_mod
     from ecwam_tpu.model import preset, stepper as stepper_mod
     from ecwam_tpu.ops.physics import implsch as impl
 
+    # O1280 operational spectral shape + cadence (BASELINE.md): 36×29
+    # bins, Δt_adv = 450 s, Δt_phys = 900 s → physics every 2nd step.
     ms = setup_mod.build_model(
-        grid_name=size, nang=nang, nfre=nfre,
-        idelpro=450.0, idelt=900.0, pad_to=256, dtype=jnp.float32)
+        grid_name=grid_name, nang=36, nfre=29,
+        idelpro=450.0, idelt=900.0, pad_to=256, dtype=jnp.float32,
+        weights_mode="otf", otf_block=1)
 
     n = ms.n_pad
     rng = np.random.default_rng(0)
@@ -48,32 +86,108 @@ def main():
     fl1 = jnp.asarray(preset.mstart(ms.tb, wswave, wdwave), ms.dtype)
     stress = stepper_mod.initial_stress(ms, frc)
 
-    step_full, _, _ = stepper_mod.make_step(ms)
+    # jitted phases built directly so the compiled HLO is introspectable
+    st_arrays = stepper_mod.stencil_device_arrays(ms)
+    xdella = ms.stencil.xdella
+    env = {k: ms.env[k] for k in stepper_mod.ENV_KEYS}
+    cg_ext = ms.env["cgroup_ext"][: ms.tb.nfre_red]
+    wenv = {k: ms.env[k] for k in
+            ("wavnum_ext", "cgroup_ext", "omosnh2kd_ext", "depth_ext",
+             "ucur_ext", "vcur_ext") if k in ms.env}
 
-    # warmup/compile
-    f, state = step_full(fl1, frc, stress)
+    @jax.jit
+    def adv(f, st_a, cg, we):
+        return stepper_mod.propagate_otf(
+            ms, f, stepper_mod._st_ns(st_a, xdella), cg, we)
+
+    @jax.jit
+    def phys(f, frc, stress, env):
+        return impl.implsch(ms.phys, f, env, frc, **stress)
+
+    adv_args = (fl1, st_arrays, cg_ext, wenv)
+    phys_args = (fl1, frc, stress, env)
+    b_adv = cost_bytes(adv.lower(*adv_args))
+    b_phys = cost_bytes(phys.lower(*phys_args))
+
+    f = adv(*adv_args)
+    f, state = phys(f, frc, stress, env)
     jax.block_until_ready(f)
+
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
+    # timed: cadence pairs = 2 advection steps + 1 physics step each
+    stress_now = stress
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        f = adv(f, st_arrays, cg_ext, wenv)
+        f, state = phys(f, frc, stress_now, env)
+        stress_now = {k: state[k] for k in stress_now}
+        f = adv(f, st_arrays, cg_ext, wenv)
+    jax.block_until_ready(f)
+    dt_pair = (time.perf_counter() - t0) / steps
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        f, state = step_full(f, frc, stress)
+        f = adv(f, st_arrays, cg_ext, wenv)
     jax.block_until_ready(f)
-    dt = (time.perf_counter() - t0) / steps
+    t_adv = (time.perf_counter() - t0) / steps
+    t_phys = max(dt_pair - 2.0 * t_adv, 0.0)
 
-    bins = ms.n_real * nang * nfre
-    value = bins / dt
+    if profile_dir:
+        jax.profiler.stop_trace()
 
-    # speed-of-light estimate: ~100 bytes HBM traffic per bin per step,
-    # v5e-class HBM ≈ 8.2e11 B/s
-    sol = 8.2e11 / 100.0
-    print(json.dumps({
+    bins = ms.n_real * 36 * 29
+    value = bins / (dt_pair / 2.0)
+    bw = measure_stream_bw(jax, jnp)
+
+    # hand-counted HBM model (audits XLA's byte count; VERDICT r1 #5):
+    # OTF advection: fl1 read+write (2) + 9 neighbour gathers + ~1
+    # amortized weight-input read ≈ 12 f32/bin = 48 B/bin.
+    hand_adv = 48.0 * ms.n_pad * 36 * 29
+    achieved = (2.0 * b_adv + b_phys) / dt_pair
+
+    return {
         "metric": "point_bins_per_s_per_chip",
         "value": value,
         "unit": "bins/s",
-        "vs_baseline": value / sol,
-        "grid": size, "nang": nang, "nfre": nfre,
-        "sea_points": ms.n_real, "step_seconds": dt,
-    }))
+        "vs_baseline": achieved / bw,
+        "grid": grid_name, "nang": 36, "nfre": 29,
+        "sea_points": ms.n_real,
+        "cadence": "adv 450 s / phys 900 s (physics every 2nd step)",
+        "step_pair_seconds": dt_pair,
+        "t_propag_seconds": t_adv,
+        "t_phys_seconds": t_phys,
+        "device": str(jax.devices()[0].device_kind),
+        "stream_bw_bytes_per_s": bw,
+        "xla_bytes_per_adv_step": b_adv,
+        "xla_bytes_per_phys_step": b_phys,
+        "hand_model_bytes_per_adv_step": hand_adv,
+        "bytes_per_bin_adv": b_adv / (ms.n_pad * 36 * 29),
+    }
+
+
+def main():
+    steps = int(os.environ.get("ECWAVE_BENCH_STEPS", "5"))
+    forced = os.environ.get("ECWAVE_BENCH_GRID")
+    profile_dir = os.environ.get("ECWAVE_BENCH_PROFILE")
+    candidates = [forced] if forced else ["O640", "O512", "O400", "O320"]
+
+    last_err = None
+    for grid_name in candidates:
+        try:
+            out = run_grid(grid_name, steps, profile_dir)
+            print(json.dumps(out))
+            return 0
+        except Exception as e:  # noqa: BLE001 - fall through to smaller
+            last_err = e
+            msg = repr(e)
+            if forced or not any(s in msg for s in
+                                 ("RESOURCE_EXHAUSTED", "Out of memory",
+                                  "out of memory", "OOM")):
+                raise
+            continue
+    raise SystemExit(f"no benchmark grid fit this chip: {last_err!r}")
 
 
 if __name__ == "__main__":

@@ -256,7 +256,7 @@ def run_model(cfg: RunConfig, rundir: str, *, dtype=None, quiet=False):
         nxt = date + step
         model.advance(1)
         if nxt in frc_dates:
-            model.frc = model._fetch_forcing(nxt)
+            model.newwind(nxt)        # NEWWIND swap incl. the TAUW cap
         if nxt in out_dates:
             do_output(nxt)
         if nxt in rst_dates:
@@ -289,12 +289,14 @@ def _validate(cfg: RunConfig, entries) -> int:
     from ecwam_tpu.io import norms as norms_mod
     block = cfg.validation.get("single_precision") or \
         cfg.validation.get("double_precision") or []
-    failures = norms_mod.validate(entries, block)
-    if failures:
-        for f in failures:
+    rep = norms_mod.validate_report(entries, block)
+    if rep["failures"]:
+        for f in rep["failures"]:
             print("VALIDATION FAIL:", json.dumps(f, default=str))
         return 1
-    print(f"validation OK ({len(block)} checks)")
+    print(f"validation OK ({rep['passed']} checks, "
+          f"{rep['bit_identical']}/{rep['passed']} bit identical with "
+          "recorded results)")
     return 0
 
 

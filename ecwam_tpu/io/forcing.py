@@ -65,6 +65,27 @@ def interp_field(field2d, w):
             + wy * ((1 - wx) * f10 + wx * f11))
 
 
+def reduced_to_regular(msg):
+    """Regrid a reduced lat-lon GRIB message to the regular grid of its
+    longest row (grib2wgrid.F90 reduced-grid branch): per-row periodic
+    linear interpolation in longitude."""
+    pl = np.asarray(msg.pl, np.int64)
+    lats = msg.lats
+    nx = int(pl.max())
+    lon1 = msg.meta["lon1"] / 1000.0
+    lons = lon1 + np.arange(nx) * 360.0 / nx
+    out = np.empty((len(pl), nx))
+    tx = np.arange(nx) / nx
+    off = 0
+    for j, p in enumerate(pl):
+        p = int(p)
+        row = msg.values[off:off + p]
+        off += p
+        x = np.arange(p + 1) / p
+        out[j] = np.interp(tx, x, np.concatenate([row, row[:1]]))
+    return lats, lons, out
+
+
 def uv_to_speed_dir(u, v):
     """WAMWND conversion: components → speed + oceanographic direction
     (direction the wind blows TOWARDS, radians) (wamwnd.F90)."""
@@ -110,12 +131,15 @@ class ForcingFile:
             if name is None:
                 continue
             if m.meta["ni"] < 0:
-                raise NotImplementedError(
-                    "reduced-grid forcing not supported; regrid first")
+                la, lo, vals = reduced_to_regular(m)
+            else:
+                la, lo, vals = m.lats, m.lons, m.grid_values()
             if lats is None:
-                lats, lons = m.lats, m.lons
+                lats, lons = la, lo
+            elif len(la) != len(lats) or len(lo) != len(lons):
+                raise ValueError("mixed forcing grids in one file")
             t = np.int64(m.date14)
-            series.setdefault(name, {})[t] = m.grid_values()
+            series.setdefault(name, {})[t] = vals
         if not series:
             raise ValueError(f"no usable forcing fields in {path}")
         times = sorted({t for d in series.values() for t in d})
@@ -153,17 +177,36 @@ class ForcingFile:
             i = self.time_index(date14)
             out = {}
             f = self.fields
-            if "u10" in f:
+            out["aird"] = (interp_field(f["aird"][i], w) if "aird" in f
+                           else np.full(npts, c.ROAIR))
+            if "ust" in f:
+                # ICODE=1: friction-velocity components (wamwnd.F90 CASE 1)
+                uu = interp_field(f["ust"][i], w)
+                vv = interp_field(f["vst"][i], w)
+                us, wdir = uv_to_speed_dir(uu, vv)
+                out["ufric"] = np.maximum(us, 1.0e-6)
+                out["wswave"] = np.zeros(npts)      # derived by AIRSEA
+                out["wdwave"] = wdir
+            elif "taux" in f:
+                # ICODE=2: surface stress components → u* = √(|τ|/ρ)
+                # (wamwnd.F90 CASE 2)
+                uu = interp_field(f["taux"][i], w)
+                vv = interp_field(f["tauy"][i], w)
+                tau, wdir = uv_to_speed_dir(uu, vv)
+                us = np.sqrt(np.maximum(tau, 0.0)
+                             / np.maximum(out["aird"], 1.0))
+                out["ufric"] = np.maximum(us, 1.0e-6)
+                out["wswave"] = np.zeros(npts)
+                out["wdwave"] = wdir
+            elif "u10" in f:
                 u = interp_field(f["u10"][i], w)
                 v = interp_field(f["v10"][i], w)
                 wspd, wdir = uv_to_speed_dir(u, v)
+                out["wswave"] = wspd    # WSPMIN floor applied by NEWWIND
+                out["wdwave"] = wdir
             else:
-                wspd = interp_field(f["wspd"][i], w)
-                wdir = np.deg2rad(interp_field(f["wdir"][i], w))
-            out["wswave"] = np.maximum(wspd, WSPMIN)
-            out["wdwave"] = wdir
-            out["aird"] = (interp_field(f["aird"][i], w) if "aird" in f
-                           else np.full(npts, c.ROAIR))
+                out["wswave"] = interp_field(f["wspd"][i], w)
+                out["wdwave"] = np.deg2rad(interp_field(f["wdir"][i], w))
             out["wstar"] = (interp_field(f["wstar"][i], w) if "wstar" in f
                             else np.zeros(npts))
             out["cicover"] = np.clip(
@@ -172,6 +215,10 @@ class ForcingFile:
             if "cithick" in f:
                 out["cithick"] = np.maximum(
                     interp_field(f["cithick"][i], w), 0.0)
+            if "ucur" in f:
+                # time-varying surface currents (getcurr.F90 ingest)
+                out["ucur"] = interp_field(f["ucur"][i], w)
+                out["vcur"] = interp_field(f["vcur"][i], w)
             return out
 
         return provider

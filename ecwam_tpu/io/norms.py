@@ -78,13 +78,18 @@ class StatisticsLog:
         return out
 
 
-def validate(entries: list[dict], validation_list: list[dict]) -> list[dict]:
+def validate_report(entries: list[dict],
+                    validation_list: list[dict]) -> dict:
     """Compare entries against a reference YAML validation block
-    (tests/etopo1_oper_an_fc_O48.yml:52-116 schema).
+    (tests/etopo1_oper_an_fc_O48.yml:52-116 schema), replicating
+    ecwam_validation.py:118-181: per spec, the FIRST norm key present is
+    tolerance-checked, and the IEEE-hex ``hashes`` list counts exact
+    bit-identical matches (informational, never pass/fail).
 
-    Returns a list of failure dicts (empty = pass).
+    Returns dict(failures=[...], passed=N, bit_identical=N, missing=N).
     """
     failures = []
+    passed = bit_identical = missing = 0
     for spec in validation_list:
         name = spec["name"]
         t14 = str(spec["time"]).replace("-", "").replace(":", "").replace(
@@ -92,16 +97,29 @@ def validate(entries: list[dict], validation_list: list[dict]) -> list[dict]:
         matches = [e for e in entries
                    if e["name"] == name and e["time"] == t14]
         if not matches:
+            missing += 1
             failures.append(dict(spec=spec, reason="no matching entry"))
             continue
         e = matches[-1]
-        rtol = float(spec.get("relative_tolerance", 1e-6))
-        for key in ("average", "minimum", "maximum"):
-            if key in spec:
-                ref = float(spec[key])
-                got = e[key]
-                if abs(got - ref) > rtol * abs(ref):
-                    failures.append(dict(
-                        spec=spec, reason=f"{key}: got {got}, want {ref} "
-                        f"(rtol {rtol})"))
-    return failures
+        rtol = float(spec.get("relative_tolerance", 0.0))
+        norm_type = next((k for k in ("average", "minimum", "maximum")
+                          if k in spec), None)
+        if norm_type is None:
+            continue
+        ref = float(spec[norm_type])
+        got = e[norm_type]
+        if abs(got - ref) > rtol * abs(ref):
+            failures.append(dict(
+                spec=spec, reason=f"{norm_type}: got {got}, want {ref} "
+                f"(rtol {rtol})"))
+        else:
+            passed += 1
+            if ieee_hex(got) in spec.get("hashes", []):
+                bit_identical += 1
+    return dict(failures=failures, passed=passed,
+                bit_identical=bit_identical, missing=missing)
+
+
+def validate(entries: list[dict], validation_list: list[dict]) -> list[dict]:
+    """Failure list only (empty = pass); see validate_report."""
+    return validate_report(entries, validation_list)["failures"]

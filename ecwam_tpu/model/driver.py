@@ -56,9 +56,11 @@ class WaveModel:
         self.forcing_provider = forcing_provider
         self.date = (parse_date(start_date) if isinstance(start_date, str)
                      else start_date)
-        self.step_full, self.step_adv, self.step_phys = \
-            stepper_mod.make_step(setup)
-        self.frc = self._fetch_forcing(self.date)
+        self.steps = stepper_mod.make_step(setup)
+        self.step_full, self.step_adv, self.step_phys = self.steps
+        self.frc, self._currents = self._fetch_forcing(self.date)
+        if self._currents is not None:
+            self.steps.refresh_currents(*self._currents)
         if fl1 is None:
             from ecwam_tpu.model import preset
             f = preset.mstart(
@@ -71,28 +73,84 @@ class WaveModel:
         self.timers = StepTimers()
         self._phys_elapsed = 0.0
 
+    # forcing-swap constants (yowwind.F90:19-20, yowpcons.F90:55-56)
+    WSPMIN_RESET_TAUW = 4.0
+    USTMIN_RESET_TAUW = 0.08
+    _ACD, _BCD = 8.0e-4, 8.0e-5
+
     def _fetch_forcing(self, date):
+        """GETWND role: provider fields → padded device arrays.
+
+        Returns (frc, currents) where currents is an optional (uc, vc)
+        pair of padded arrays (GETCURR).  For u*/stress forcing (ICODE
+        1/2) the provider supplies 'ufric' instead of a meaningful wind
+        speed; the wind floor applies to U10 forcing only
+        (wamwnd.F90 CASE(3): U10 = MAX(U10, WSPMIN)).
+        """
         raw = self.forcing_provider(format_date(date))
         out = {}
-        for k in ("wswave", "wdwave", "aird", "wstar", "cicover"):
+        keys = ["wswave", "wdwave", "aird", "wstar", "cicover"]
+        if "cithick" in raw:
+            keys.append("cithick")
+        if "ufric" in raw:
+            keys.append("ufric")
+        for k in keys:
             v = np.asarray(raw[k], dtype=np.float64)
             out[k] = jnp.asarray(
                 pad_point_field(self.setup, v), self.setup.dtype)
-        # reference floors wind at WSPMIN (userin.F90:914-917)
-        out["wswave"] = jnp.maximum(out["wswave"], 1.0)
-        return out
+        if self.setup.phys.icode_wnd == 3:
+            out["wswave"] = jnp.maximum(out["wswave"], 1.0)
+        cur = None
+        if "ucur" in raw:
+            cur = tuple(jnp.asarray(
+                pad_point_field(self.setup,
+                                np.asarray(raw[k], np.float64)),
+                self.setup.dtype) for k in ("ucur", "vcur"))
+        return out, cur
+
+    def newwind(self, date):
+        """Swap staged forcing in (newwind.F90:97-178).
+
+        ICODE 3: cap the wave stress where the new wind is weak —
+        TAUW ≤ (ACD+BCD·U10)·U10³/WSPMIN_RESET_TAUW (newwind.F90:125-146).
+        ICODE 1/2: take u* from the forcing and rebuild
+        TAUW = u*²·(1−(α/CHARNOCK)²), zeroed below USTMIN_RESET_TAUW.
+        New currents re-derive the CTU weights (GETCURR → LUPDTWGHT).
+        """
+        frc, cur = self._fetch_forcing(date)
+        if self.setup.phys.icode_wnd == 3:
+            u10 = frc["wswave"]
+            wght = 1.0 / self.WSPMIN_RESET_TAUW
+            tlwmax = wght * (self._ACD + self._BCD * u10) * u10**3
+            self.stress = dict(
+                self.stress,
+                tauw=jnp.where(u10 < self.WSPMIN_RESET_TAUW,
+                               jnp.minimum(self.stress["tauw"], tlwmax),
+                               self.stress["tauw"]))
+        else:
+            us = frc["ufric"]
+            alpha = self.setup.phys.params.alpha
+            tauw = us**2 * (1.0 - (alpha / self.stress["chrnck"]) ** 2)
+            tauw = jnp.where(us < self.USTMIN_RESET_TAUW, 0.0, tauw)
+            self.stress = dict(self.stress, ufric=us, tauw=tauw)
+        self.frc = frc
+        if cur is not None:
+            self._currents = cur
+            self.steps.refresh_currents(*cur)
+        return self
 
     def advance(self, n_steps: int = 1, wind_every: int | None = None):
         """Advance ``n_steps`` advection steps of ``idelpro`` seconds.
 
         Physics runs whenever the accumulated time reaches ``idelt``
-        (wamintgr.F90:117-146).  ``wind_every``: refresh forcing every N
-        steps (NEWWIND role); None = keep current forcing.
+        (wamintgr.F90:117-146).  ``wind_every``: swap forcing every N
+        steps (the NEWWIND role incl. the TAUW cap); None = keep current
+        forcing.
         """
         s = self.setup
         for i in range(n_steps):
             if wind_every and i > 0 and i % wind_every == 0:
-                self.frc = self._fetch_forcing(self.date)
+                self.newwind(self.date)
             t0 = time.perf_counter()
             self._phys_elapsed += s.idelpro
             if self._phys_elapsed >= s.idelt - 1e-6:

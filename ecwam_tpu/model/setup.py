@@ -45,6 +45,17 @@ class ModelSetup:
     irefra: int
     env: dict                 # device env arrays (padded, + _ext variants)
     dtype: Any
+    # memory-scalability knobs (see stepper.py):
+    #   weights_mode 'cached' keeps the dense CTU weights resident
+    #   (~17 floats/bin, propag_wam.F90 LUPDTWGHT); 'otf' recomputes them
+    #   per frequency block inside the step (propags1.F90-style on-the-fly
+    #   fluxes) so peak weight memory drops by nfre_red/otf_block.
+    weights_mode: str = "cached"
+    otf_block: int = 1
+    #   phys_chunk splits the point axis into NPROMA-style chunks for the
+    #   physics (lax.map), bounding the source-term intermediates
+    #   (mchunk.F90:44-45); 0 = whole axis in one chunk.
+    phys_chunk: int = 0
 
 
 def _pad_indices(n_real: int, n_pad: int) -> np.ndarray:
@@ -103,6 +114,7 @@ def build_model(
     iphys: int = 1,
     irefra: int = 0,
     isnonlin: int = 1,
+    icode_wnd: int = 3,
     llgcbz0: bool = False,
     llnormagam: bool = False,
     llcapchnk: bool = False,
@@ -112,6 +124,9 @@ def build_model(
     dtype=jnp.float32,
     obstructions=None,
     currents: tuple | None = None,
+    weights_mode: str = "cached",
+    otf_block: int = 1,
+    phys_chunk: int = 0,
 ) -> ModelSetup:
     """Build a complete single-domain model.
 
@@ -135,8 +150,8 @@ def build_model(
                                 llnormagam=llnormagam,
                                 llcapchnk=llcapchnk)
     phys = impl.make_physics_config(tb, params, idelt, nfre_red=nfre_red,
-                                    isnonlin=isnonlin, lciwa3=lciwa3,
-                                    lciscal=lciscal)
+                                    isnonlin=isnonlin, icode_wnd=icode_wnd,
+                                    lciwa3=lciwa3, lciscal=lciscal)
 
     n_real = blk.nsea
     n_pad = ((n_real + pad_to - 1) // pad_to) * pad_to
@@ -176,7 +191,9 @@ def build_model(
         n_real=n_real, n_pad=n_pad,
         idelpro=idelpro, idelt=idelt,
         delpro_lf=delpro_lf or idelpro, ifrelfmax=ifrelfmax,
-        irefra=irefra, env=env, dtype=dtype)
+        irefra=irefra, env=env, dtype=dtype,
+        weights_mode=weights_mode, otf_block=otf_block,
+        phys_chunk=phys_chunk)
 
 
 def pad_point_field(setup: ModelSetup, values: np.ndarray) -> np.ndarray:

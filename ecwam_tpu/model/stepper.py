@@ -124,11 +124,133 @@ def propagate(setup: ModelSetup, weights, fl1, st):
     return out
 
 
+def _otf_blocks(setup: ModelSetup):
+    """Frequency-block windows [(mstart, mend, delpro, nsub), ...] that never
+    straddle the fast-wave band boundary."""
+    nfre_red = setup.tb.nfre_red
+    bs = max(1, setup.otf_block)
+    nsub = (max(1, round(setup.idelpro / setup.delpro_lf))
+            if setup.ifrelfmax > 0 else 1)
+    blocks = []
+    for lo, hi, dtp, ns in (((0, setup.ifrelfmax, setup.delpro_lf, nsub),)
+                            if setup.ifrelfmax > 0 else ()) + \
+            ((setup.ifrelfmax, nfre_red, setup.idelpro, 1),):
+        m = lo
+        while m < hi:
+            blocks.append((m, min(m + bs, hi), dtp, ns))
+            m += bs
+    return blocks
+
+
+def propagate_otf(setup: ModelSetup, fl1, st, cg_ext, wenv):
+    """Advection with ON-THE-FLY weights per frequency block.
+
+    The memory-scalable variant (propags1.F90 computes fluxes on the fly
+    instead of caching them): dense CTU weights (~17 floats/bin) never
+    materialize beyond ``otf_block`` frequencies, so an O1280-shaped shard
+    fits in HBM at the cost of recomputing the weights each step.
+    """
+    tb = setup.tb
+    nfre_red = tb.nfre_red
+    refr = {}
+    if setup.irefra:
+        thdd, thdc, sdot = prop.propdot(
+            st, tb, wenv["wavnum_ext"][:nfre_red],
+            wenv["cgroup_ext"][:nfre_red],
+            wenv["omosnh2kd_ext"][:nfre_red], wenv["depth_ext"],
+            wenv["ucur_ext"], wenv["vcur_ext"], setup.irefra)
+        refr = dict(thdd=thdd, thdc=thdc, sdot=sdot,
+                    omosnh2kd_ext=wenv["omosnh2kd_ext"][:nfre_red],
+                    u_ext=wenv["ucur_ext"], v_ext=wenv["vcur_ext"])
+    blocks = _otf_blocks(setup)
+
+    def wgt(mstart, mend, dtp, refr_):
+        return prop.ctuw_weights(
+            dtp, st, tb, cg_ext, mstart=mstart, mend=mend,
+            irefra=setup.irefra, **refr_)
+
+    if setup.irefra in (2, 3):
+        # CFL current-retry needs the global failure mask first
+        fail = None
+        for (m0, m1, dtp, _) in blocks:
+            f = wgt(m0, m1, dtp, refr)["cflfail"]
+            fail = f if fail is None else (fail | f)
+        curmask = 1.0 - fail.astype(cg_ext.dtype)
+        refr = dict(refr, thdc=refr["thdc"] * curmask[None, :],
+                    sdot=refr["sdot"] * curmask[None, None, :])
+
+    # σ̇ frequency shifting (irefra 2/3) couples m±1: blocks then need a
+    # one-frequency overlap so the shift stencil sees its true neighbours
+    shift = setup.irefra in (2, 3)
+    outs = []
+    for (m0, m1, dtp, nsub) in blocks:
+        e0 = max(0, m0 - 1) if shift else m0
+        e1 = min(nfre_red, m1 + 1) if shift else m1
+        w = wgt(e0, e1, dtp, refr)
+        f = fl1[:, e0:e1]
+        for _ in range(nsub):
+            f = prop.propags2(_with_land(f, fl1.dtype), w, st, tb)
+        outs.append(f[:, m0 - e0: m0 - e0 + (m1 - m0)])
+    if nfre_red < tb.nfre:
+        outs.append(fl1[:, nfre_red:])
+    return jnp.concatenate(outs, axis=1)
+
+
+def _chunked_implsch(setup: ModelSetup, fl1, env, frc, stress):
+    """NPROMA-style physics chunking (mchunk.F90:44-45): lax.map over
+    point chunks bounds the source-term intermediates to chunk size."""
+    C = setup.phys_chunk
+    n = fl1.shape[-1]
+    if not C or n % C != 0 or n == C:
+        return impl.implsch(setup.phys, fl1, env, frc, **stress)
+    nch = n // C
+
+    def split(a):
+        a = jnp.asarray(a)
+        return jnp.moveaxis(a.reshape(a.shape[:-1] + (nch, C)), -2, 0)
+
+    def join(a):
+        a = jnp.moveaxis(a, 0, -2)
+        return a.reshape(a.shape[:-2] + (n,))
+
+    xs = (split(fl1), jax.tree.map(split, env),
+          jax.tree.map(split, frc), jax.tree.map(split, stress))
+
+    def body(args):
+        f, e, fr, srx = args
+        return impl.implsch(setup.phys, f, e, fr, **srx)
+
+    f_out, state = jax.lax.map(body, xs)
+    return join(f_out), jax.tree.map(join, state)
+
+
+class StepBundle:
+    """The three jitted step functions + the GETCURR/LUPDTWGHT hook.
+
+    Unpacks like the historical 3-tuple:
+        step_full, step_adv, step_phys = make_step(setup)
+    and additionally exposes ``refresh_currents(uc, vc)`` which installs
+    new (n_pad,) surface currents and re-derives the cached CTU weights
+    (getcurr.F90 → LUPDTWGHT → CTUWUPDT; in OTF mode the weights are
+    recomputed every step so only the env updates).
+    """
+
+    def __init__(self, step_full, step_adv, step_phys, refresh_currents):
+        self.step_full = step_full
+        self.step_adv = step_adv
+        self.step_phys = step_phys
+        self.refresh_currents = refresh_currents
+
+    def __iter__(self):
+        return iter((self.step_full, self.step_adv, self.step_phys))
+
+
 def make_step(setup: ModelSetup):
     """Build jitted step functions.
 
-    Returns (step_full, step_adv, step_phys); each takes only the dynamic
-    state — weights/stencil/env ride along as bound jit arguments.
+    Returns a StepBundle (unpacks to step_full, step_adv, step_phys);
+    each takes only the dynamic state — weights/stencil/env ride along as
+    bound jit arguments.
     """
     st_arrays = stencil_device_arrays(setup)
     xdella = setup.stencil.xdella
@@ -138,35 +260,87 @@ def make_step(setup: ModelSetup):
                  "ucur_ext", "vcur_ext")
     wenv = {k: setup.env[k] for k in wenv_keys if k in setup.env}
 
+    if setup.weights_mode == "otf":
+        @jax.jit
+        def _adv_otf(fl1, st_a, cg_ext, wenv):
+            with jax.named_scope("propag_otf"):
+                return propagate_otf(setup, fl1, _st_ns(st_a, xdella),
+                                     cg_ext, wenv)
+
+        @jax.jit
+        def _full_otf(fl1, frc, stress, st_a, cg_ext, wenv, env):
+            with jax.named_scope("propag_otf"):
+                fl1 = propagate_otf(setup, fl1, _st_ns(st_a, xdella),
+                                    cg_ext, wenv)
+            with jax.named_scope("physics"):
+                return _chunked_implsch(setup, fl1, env, frc, stress)
+
+        @jax.jit
+        def _phys(fl1, frc, stress, env):
+            with jax.named_scope("physics"):
+                return _chunked_implsch(setup, fl1, env, frc, stress)
+
+        def step_full(fl1, frc, stress):
+            return _full_otf(fl1, frc, stress, st_arrays, cg_ext, wenv,
+                             env)
+
+        def step_adv(fl1):
+            return _adv_otf(fl1, st_arrays, cg_ext, wenv)
+
+        def step_phys(fl1, frc, stress):
+            return _phys(fl1, frc, stress, env)
+
+        def refresh_currents(uc, vc):
+            dt_ = setup.dtype
+            uce = jnp.concatenate([jnp.asarray(uc, dt_),
+                                   jnp.zeros(1, dt_)])
+            vce = jnp.concatenate([jnp.asarray(vc, dt_),
+                                   jnp.zeros(1, dt_)])
+            wenv.update(ucur_ext=uce, vcur_ext=vce)
+
+        return StepBundle(step_full, step_adv, step_phys,
+                          refresh_currents)
+
     @jax.jit
     def compute_weights(st_a, cg_ext, wenv):
         return _compute_weights(setup, _st_ns(st_a, xdella), cg_ext, wenv)
 
-    weights = compute_weights(st_arrays, cg_ext, wenv)
+    cache = {"weights": compute_weights(st_arrays, cg_ext, wenv)}
 
     @jax.jit
     def _adv(fl1, weights, st_a):
-        return propagate(setup, weights, fl1, _st_ns(st_a, xdella))
+        with jax.named_scope("propag"):
+            return propagate(setup, weights, fl1, _st_ns(st_a, xdella))
 
     @jax.jit
     def _full(fl1, frc, stress, weights, st_a, env):
-        fl1 = propagate(setup, weights, fl1, _st_ns(st_a, xdella))
-        return impl.implsch(setup.phys, fl1, env, frc, **stress)
+        with jax.named_scope("propag"):
+            fl1 = propagate(setup, weights, fl1, _st_ns(st_a, xdella))
+        with jax.named_scope("physics"):
+            return _chunked_implsch(setup, fl1, env, frc, stress)
 
     @jax.jit
     def _phys(fl1, frc, stress, env):
-        return impl.implsch(setup.phys, fl1, env, frc, **stress)
+        with jax.named_scope("physics"):
+            return _chunked_implsch(setup, fl1, env, frc, stress)
 
     def step_full(fl1, frc, stress):
-        return _full(fl1, frc, stress, weights, st_arrays, env)
+        return _full(fl1, frc, stress, cache["weights"], st_arrays, env)
 
     def step_adv(fl1):
-        return _adv(fl1, weights, st_arrays)
+        return _adv(fl1, cache["weights"], st_arrays)
 
     def step_phys(fl1, frc, stress):
         return _phys(fl1, frc, stress, env)
 
-    return step_full, step_adv, step_phys
+    def refresh_currents(uc, vc):
+        dt_ = setup.dtype
+        uce = jnp.concatenate([jnp.asarray(uc, dt_), jnp.zeros(1, dt_)])
+        vce = jnp.concatenate([jnp.asarray(vc, dt_), jnp.zeros(1, dt_)])
+        wenv.update(ucur_ext=uce, vcur_ext=vce)
+        cache["weights"] = compute_weights(st_arrays, cg_ext, wenv)
+
+    return StepBundle(step_full, step_adv, step_phys, refresh_currents)
 
 
 def initial_stress(setup: ModelSetup, frc):

@@ -56,6 +56,7 @@ class PhysicsConfig:
     wtauhf: np.ndarray
     idelt: float              # physics timestep (s)
     nfre_red: int
+    icode_wnd: int = 3        # wind forcing code: 3=U10, 1=u*, 2=stress
     isnonlin: int = 1
     lbiwbk: bool = True
     licerun: bool = True
@@ -118,10 +119,15 @@ def sinflx(icall, ncall, cfg: PhysicsConfig, fl1, env, frc, flm,
                     fl1, env["wavnum"], coswdif, tb, params)
             else:
                 halp = jnp.zeros_like(fmean)
-        _, ufric, z0m, z0b, chrnck = airsea_mod.airsea(
+        wswave, ufric, z0m, z0b, chrnck = airsea_mod.airsea(
             frc["wswave"], frc["wdwave"], tauw, tauwdir, ufric, params,
-            icode_wnd=3, iusfg=0 if icall == 1 else 1,
+            icode_wnd=cfg.icode_wnd, iusfg=0 if icall == 1 else 1,
             halp=halp, rnfac=rnfac)
+        if cfg.icode_wnd in (1, 2):
+            # u*-driven forcing: AIRSEA derives U10 from the log profile
+            # (airsea.F90 ICODE 1/2) and the new U10 feeds the rest of
+            # the chain (the reference's INOUT WSWAVE)
+            frc = dict(frc, wswave=wswave)
 
     ngst = 1 if icall < ncall else 2
     llsneg = icall >= ncall
@@ -144,7 +150,8 @@ def sinflx(icall, ncall, cfg: PhysicsConfig, fl1, env, frc, flm,
         tb, params, x0tauhf=cfg.x0tauhf, wtauhf=cfg.wtauhf, llphiwa=llphiwa)
 
     return dict(
-        fl1=fl1, ufric=ufric, tauw=tauw, tauwdir=tauwdir,
+        fl1=fl1, wswave=frc["wswave"], ufric=ufric, tauw=tauw,
+        tauwdir=tauwdir,
         z0m=z0m, z0b=z0b, chrnck=chrnck, halp=halp,
         fld=fld, sl=sl, spos=spos, xllws=xllws,
         mij=mij, rhowgdfth=rhowgdfth, fmeanws=fmeanws, phiwa=phiwa,
@@ -183,6 +190,8 @@ def implsch(cfg: PhysicsConfig, fl1, env, frc,
                     ufric, tauw, tauwdir, z0m, z0b, chrnck)
         fl1, ufric, tauw, tauwdir = (
             st["fl1"], st["ufric"], st["tauw"], st["tauwdir"])
+        if cfg.icode_wnd in (1, 2):
+            frc = dict(frc, wswave=st["wswave"])
         z0m, z0b, chrnck, halp = st["z0m"], st["z0b"], st["chrnck"], st["halp"]
     fld, sl = st["fld"], st["sl"]
     mij, xllws, fmeanws = st["mij"], st["xllws"], st["fmeanws"]
@@ -263,6 +272,7 @@ def implsch(cfg: PhysicsConfig, fl1, env, frc,
         fl1 = setice(fl1, frc["cicover"], st["coswdif"])
 
     state = dict(
+        **({"wswave": frc["wswave"]} if cfg.icode_wnd in (1, 2) else {}),
         ufric=ufric, tauw=tauw, tauwdir=tauwdir, z0m=z0m, z0b=z0b,
         chrnck=chrnck, mij=mij, xllws=xllws, phiwa=st["phiwa"],
         emean=emean, fmean=fmean, f1mean=f1mean, akmean=akmean,

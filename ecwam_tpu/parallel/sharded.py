@@ -285,6 +285,8 @@ def build_sharded_model(setup: ModelSetup, mesh: Mesh) -> ShardedModel:
         "ustokes", "vstokes")}
     if setup.phys.lstrn:
         state_specs["strnms"] = pt
+    if setup.phys.icode_wnd in (1, 2):
+        state_specs["wswave"] = pt
     state_specs["xllws"] = specs_pt_last
 
     mapped = jax.shard_map(

@@ -131,18 +131,48 @@ def test_implsch_jits_and_matches_eager(setup):
         np.asarray(jit_state["emean"]), np.asarray(jit_state_b["emean"]))
 
 
-def test_snonlin_conserves_energy_roughly(setup):
-    """DIA conserves total energy/action in deep water (within tail leakage)."""
+def test_snonlin_conserves_energy_exactly_in_interior(setup):
+    """The discrete DIA conserves energy and action to ROUND-OFF when every
+    quadruplet stays inside the resolved frequency range (λ=0.25 reaches
+    MC−4..MC+3, nlweigt.F90:95-98): a narrow spectrum in bins 8..14 of 25
+    keeps all scatter targets in range, so ΣS_nl·DFIM must vanish.
+
+    A broad (JONSWAP) spectrum legitimately leaks ≈25-30%% of |S_nl| into
+    the diagnostic f⁻⁵ tail above NFRE (the FRH tail factors,
+    inisnonlin.F90:150-173); that part is bounded loosely as a sanity
+    check, not as a conservation statement.
+    """
     from ecwam_tpu.ops.physics import dia as dia_mod
     tb, params, cfg, step, env, fl1, frc = setup
     zero = jnp.zeros_like(fl1)
+    dfim = jnp.asarray(tb.dfim)[None, :, None]
+    dfimofr = jnp.asarray(tb.dfimofr)[None, :, None]
+
+    # interior-only spectrum: exact conservation
+    m = np.arange(tb.nfre)
+    prof = np.exp(-0.5 * ((m - 11) / 1.5) ** 2)
+    prof[(m < 8) | (m > 14)] = 0.0
+    ang = np.exp(-0.5 * ((np.arange(tb.nang) - 6) / 2.0) ** 2)
+    npts = fl1.shape[-1]
+    narrow = jnp.asarray(
+        5.0 * np.einsum("k,m->km", ang, prof)[:, :, None]
+        * np.ones((1, 1, npts)), fl1.dtype)
+    akm = means_mod.fkmean(narrow, env["wavnum"], tb)[3]
+    _, sl = dia_mod.snonlin(
+        narrow, zero, zero, env["wavnum"], env["depth"], akm, tb,
+        cfg.dia, isnonlin=1)
+    for w, nm in ((dfim, "energy"), (dfimofr, "action")):
+        tot = float(jnp.sum(sl[:, :, 0] * w[:, :, 0]))
+        scale = float(jnp.sum(jnp.abs(sl[:, :, 0]) * w[:, :, 0]))
+        assert scale > 0
+        tol = 1e-12 if fl1.dtype == jnp.float64 else 1e-5
+        assert abs(tot) / scale < tol, (nm, tot, scale)
+
+    # broad spectrum: tail leakage stays in the physical 0.2-0.4 band
     akmean = means_mod.fkmean(fl1, env["wavnum"], tb)[3]
-    fld, sl = dia_mod.snonlin(
+    _, sl = dia_mod.snonlin(
         fl1, zero, zero, env["wavnum"], env["depth"], akmean, tb, cfg.dia,
         isnonlin=1)
-    # integrated S_nl (energy) should be small relative to a typical term size
-    dfim = jnp.asarray(tb.dfim)[None, :, None]
     tot = float(jnp.sum(sl[:, :, 0] * dfim[:, :, 0]))
     scale = float(jnp.sum(jnp.abs(sl[:, :, 0]) * dfim[:, :, 0]))
-    assert scale > 0
-    assert abs(tot) / scale < 0.2, (tot, scale)
+    assert 0.0 < abs(tot) / scale < 0.4, (tot, scale)
