@@ -14,8 +14,10 @@ the kernel unrolls into pure gathers/FMAs over the (nang, npts) plane —
 ideal for XLA/TPU (no dynamic scatter).
 
 Shallow-water enhancement:
-  - ISNONLIN=0  depth/mean-wavenumber factor (snonlin.F90:74-84)
-  - ISNONLIN=1  TRANSF per-frequency factor  (transf.F90:26-40), the default
+  - ISNONLIN=0  depth/mean-wavenumber factor (snonlin.F90:127-136)
+  - ISNONLIN=1  TRANSF per-frequency factor  (transf.F90:40-69), the default
+  - ISNONLIN=2  spread-dependent TRANSF_SNL with PEAK_ANG ν/σθ
+                (snonlin.F90:151-165, peak_ang.F90, transf_snl.F90)
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ecwam_tpu.core import constants as c
+from ecwam_tpu.core import spectral as sp
 from ecwam_tpu.core.dispersion import BATHYMAX
 
 ALAMD = 0.25             # DIA lambda (nlweigt.F90:69)
@@ -328,8 +331,105 @@ def transf(xk, depth):
                      val, 1.0)
 
 
-def _enhancement(dia: DiaTables, tb, wavnum, depth, akmean, isnonlin: int):
-    """ENH(mc, npts) factor (snonlin.F90:70-95), fully vectorized over MC."""
+XKDMIN = 0.75            # minimum kd for TRANSF_SNL (yowshal.F90:23)
+WP2TAIL = 0.5            # f² tail weight (yowfred.F90:54)
+
+
+def peak_ang(fl1, tb):
+    """Frequency spread ν and directional spread σθ at the peak
+    (peak_ang.F90:60-160) — the inputs of the ISNONLIN=2 enhancement.
+
+    fl1 (nang, nfre, npts) → (xnu, sig_th), each (npts,).
+    """
+    dt = fl1.dtype
+    nang, nfre, npts = fl1.shape
+    zeps = 10.0 * jnp.finfo(dt).eps
+    nsh = 1 + int(math.log(1.5) / math.log(tb.fratio))
+
+    dfim = jnp.asarray(tb.dfim, dt)[:, None]
+    dfimfr = jnp.asarray(tb.dfimfr, dt)[:, None]
+    dfimfr2 = jnp.asarray(tb.dfimfr2, dt)[:, None]
+    temp = jnp.sum(fl1, axis=0)                       # (nfre, npts)
+    sum0 = zeps + jnp.sum(dfim * temp, axis=0)
+    sum1 = jnp.sum(dfimfr * temp, axis=0)
+    sum2 = jnp.sum(dfimfr2 * temp, axis=0)
+    delt25 = sp.WETAIL * tb.fr[-1] * tb.delth
+    coef_fr = sp.WP1TAIL * tb.delth * tb.fr[-1] ** 2
+    coef_fr2 = WP2TAIL * tb.delth * tb.fr[-1] ** 3
+    t_last = temp[-1]
+    sum0 = sum0 + delt25 * t_last
+    sum1 = sum1 + coef_fr * t_last
+    sum2 = sum2 + coef_fr2 * t_last
+    xnu = jnp.where(
+        sum0 > zeps,
+        jnp.sqrt(jnp.maximum(zeps, sum2 * sum0 / sum1**2 - 1.0)), zeps)
+
+    # spectral-peak frequency index over m = 2..nfre-1 (Fortran),
+    # initialised to MMAX=2 (peak_ang.F90:88-103)
+    interior = fl1[:, 1:nfre - 1, :]
+    xmax = jnp.max(interior, axis=(0, 1))
+    m_of = jnp.argmax(jnp.max(interior, axis=0), axis=0) + 1  # 0-based
+    mmax = jnp.where(xmax > 0.0, m_of, 1)
+
+    sinth = jnp.asarray(tb.sinth, dt)[:, None]
+    costh = jnp.asarray(tb.costh, dt)[:, None]
+    th = jnp.asarray(tb.th, dt)[:, None]
+    sum_s = jnp.zeros(npts, dt)
+    sum_c = jnp.full(npts, zeps, dt)
+    s1 = jnp.full(npts, zeps, dt)
+    s2 = jnp.zeros(npts, dt)
+    # window m = mmax−nsh .. mmax+nsh clipped to range; the running
+    # THMEAN update is sequential in m (Gauss-Seidel, peak_ang.F90:134-148)
+    for off in range(-nsh, nsh + 1):
+        m = mmax + off
+        valid = (m >= 0) & (m <= nfre - 1)
+        mc = jnp.clip(m, 0, nfre - 1)
+        flm = jnp.take_along_axis(
+            fl1, mc[None, None, :], axis=1)[:, 0, :]   # (nang, npts)
+        flm = jnp.where(valid[None, :], flm, 0.0)
+        dfim_m = jnp.where(valid, jnp.asarray(tb.dfim, dt)[mc], 0.0)
+        sum_s = sum_s + jnp.sum(sinth * flm, axis=0)
+        sum_c = sum_c + jnp.sum(costh * flm, axis=0)
+        thmean = jnp.arctan2(sum_s, sum_c)
+        s1 = s1 + jnp.sum(flm, axis=0) * dfim_m
+        s2 = s2 + jnp.sum(jnp.cos(th - thmean[None, :]) * flm,
+                          axis=0) * dfim_m
+    r1 = s2 / s1
+    sig_th = jnp.where(s1 > zeps, jnp.sqrt(2.0 * jnp.maximum(1.0 - r1,
+                                                             0.0)), 0.0)
+    return xnu, sig_th
+
+
+def transf_snl(xk0, depth, xnu, sig_th):
+    """Shallow-water SNL enhancement with spread dependence
+    (transf_snl.F90:30-85)."""
+    x0 = xk0 * depth
+    xk = jnp.maximum(xk0, XKDMIN / depth)
+    x = jnp.minimum(xk * depth, c.DKMAX)       # guard sinh overflow
+    t0 = jnp.tanh(x)
+    t0sq = t0**2
+    om = jnp.sqrt(c.G * xk * t0)
+    c0 = om / xk
+    cs_sq = c.G * depth
+    vg = jnp.where(x < 1.0e-4, c0,
+                   0.5 * c0 * (1.0 + 2.0 * x / jnp.sinh(2.0 * x)))
+    vg_sq = vg**2
+    dvg = (t0 - x * (1.0 - t0sq)) ** 2 + 4.0 * x**2 * t0sq * (1.0 - t0sq)
+    xnl1 = (9.0 * t0sq**2 - 10.0 * t0sq + 9.0) / (8.0 * t0sq * t0)
+    xnl2 = ((2.0 * vg - 0.5 * c0) ** 2 / (cs_sq - vg_sq) + 1.0) / x
+    xnl4 = 1.0 / (4.0 * t0) * (2.0 * c0 + vg * (1.0 - t0sq)) ** 2 / \
+        (cs_sq - vg_sq)
+    alp = (1.0 - vg_sq / cs_sq) * c0**2 / vg_sq
+    zfac = sig_th**2 / (sig_th**2 + alp * xnu**2)
+    xnl = xnl1 - xnl2 + zfac * xnl4
+    val = jnp.clip(xnl**2 / (dvg * t0sq**4), 0.1, 10.0)
+    return jnp.where((depth < BATHYMAX) & (depth > 0.0) & (x0 <= c.DKMAX),
+                     val, 1.0)
+
+
+def _enhancement(dia: DiaTables, tb, wavnum, depth, akmean, isnonlin: int,
+                 fl1=None):
+    """ENH(mc, npts) factor (snonlin.F90:123-165), vectorized over MC."""
     dt = wavnum.dtype
     npts = depth.shape[0]
     if isnonlin == 0:
@@ -346,7 +446,18 @@ def _enhancement(dia: DiaTables, tb, wavnum, depth, akmean, isnonlin: int):
             jnp.broadcast_to(jnp.asarray(xk_ext, dt)[:, None],
                              (len(next_f), npts))], axis=0)
         return jnp.clip(transf(xk, depth[None, :]), ENH_MIN, ENH_MAX)
-    raise NotImplementedError(f"ISNONLIN={isnonlin} (2 needs PEAK_ANG)")
+    elif isnonlin == 2:
+        # spread-dependent enhancement (snonlin.F90:151-165)
+        xnu, sig_th = peak_ang(fl1, tb)
+        next_f = np.arange(dia.nfre + 1, dia.mlsthg + 1)
+        xk_ext = c.GM1 * (tb.zpifr[-1] * tb.fratio ** (next_f - dia.nfre)) ** 2
+        xk = jnp.concatenate([
+            wavnum,
+            jnp.broadcast_to(jnp.asarray(xk_ext, dt)[:, None],
+                             (len(next_f), npts))], axis=0)
+        return transf_snl(xk, depth[None, :], xnu[None, :],
+                          sig_th[None, :])
+    raise ValueError(f"unknown ISNONLIN={isnonlin}")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -444,7 +555,8 @@ def snonlin(fl1, fld, sl, wavnum, depth, akmean, tb, dia: DiaTables,
     dt = fl1.dtype
     nang, nfre, npts = fl1.shape
     pr = build_dia_projection(dia)
-    enh = _enhancement(dia, tb, wavnum, depth, akmean, isnonlin)
+    enh = _enhancement(dia, tb, wavnum, depth, akmean, isnonlin,
+                       fl1=fl1)
 
     r = dia.rnl.astype(np.float64)
     ftail = jnp.asarray(r[0], dt)[None, :, None]

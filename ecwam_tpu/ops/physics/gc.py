@@ -185,7 +185,7 @@ def halphap(fl1, wavnum, coswdif, tb, params: pp.PhysParams):
     xmss = meansqs_lf(tb.nfre, flwd, wavnum, tb)
     em, fm = means_mod.femean(flwd, tb)
     f1d_last = jnp.sum(flwd[:, -1, :], axis=0) * float(tb.delth)
-    alphap_tail = float(c.ZPI**4 * c.GM1**2 * tb.fr[-1]**5) * f1d_last
+    alphap_tail = float(c.ZPI4GM2 * tb.fr[-1]**5) * f1d_last  # reference literal
     ok = (em > 0.0) & (fm < tb.fr[tb.nfre - 3])
     alphap_spec = xmss / jnp.maximum(
         math.log(tb.fr[-1]) - jnp.log(jnp.maximum(fm, c.EPSMIN)), c.EPSMIN)

@@ -15,6 +15,7 @@ wave-turbulence term by SSDSC5=0.0 (setwavphys); we implement the SSDSC5 term
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from ecwam_tpu.core import constants as c
@@ -38,11 +39,18 @@ def sdissip_ard(fl1, fld, sl, wavnum, cgroup, xk2cg, ufric, coswdif, raorw,
     facsat = wavnum * tpiinv * xk2cg                      # (nfre, npts)
 
     # directional half-integral saturation spectrum B(k,θ)
-    # (sdissip_ard.F90:100-115): BTH[k] = Σ_k2 w[k,k2]·F[ind[k,k2]]
-    idx = jnp.asarray(sat_indices)                        # (nang, nw)
-    w = jnp.asarray(sat_weights, dt)                      # (nang, nw)
-    fl1_nb = fl1[idx]                                     # (nang, nw, nfre, npts)
-    bth = jnp.einsum("kw,kwmp->kmp", w, fl1_nb) * facsat[None, :, :]
+    # (sdissip_ard.F90:100-115): BTH[k] = Σ_k2 w[k,k2]·F[ind[k,k2]].
+    # Collapsed into a dense (nang × nang) direction-coupling matrix so the
+    # whole integral is ONE small matmul on the MXU — the naive per-
+    # neighbour gather materializes a (nang, 2·NSDSNTH+1, nfre, npts)
+    # intermediate (~33 GB at O320) and OOMs a 16 GB chip.
+    nw = sat_indices.shape[1]
+    wmat = np.zeros((nang, nang))
+    for k in range(nang):
+        for j in range(nw):
+            wmat[k, sat_indices[k, j]] += sat_weights[k, j]
+    bth = jnp.einsum("kj,jmp->kmp", jnp.asarray(wmat, dt),
+                     fl1) * facsat[None, :, :]
     bth0 = jnp.max(bth, axis=0)                           # (nfre, npts)
 
     ssdsc2_sig = pp.SSDSC2 * zpifr                        # (nfre, 1)

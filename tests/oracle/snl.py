@@ -311,6 +311,101 @@ def transf(xk, d):
     return 1.0
 
 
+WETAIL = 0.25
+WP1TAIL = 1.0 / 3.0
+WP2TAIL = 0.5
+XKDMIN = 0.75
+
+
+def peak_ang(fl1, tb):
+    """peak_ang.F90:60-160 → (xnu, sig_th); fl1 (npts, nang, nfre)."""
+    npts, nang, nfre = fl1.shape
+    zeps = 10.0 * np.finfo(np.float64).eps
+    nsh = 1 + int(math.log(1.5) / math.log(rt.FRATIO))
+    xnu = np.zeros(npts)
+    sig_th = np.zeros(npts)
+    for ij in range(npts):
+        sum0, sum1, sum2 = zeps, 0.0, 0.0
+        temp = 0.0
+        for m in range(nfre):
+            temp = fl1[ij, :, m].sum()
+            sum0 += temp * tb.dfim[m]
+            sum1 += temp * tb.dfimfr[m]
+            sum2 += temp * tb.dfimfr2[m]
+        delt25 = WETAIL * tb.fr[nfre - 1] * tb.delth
+        coef_fr = WP1TAIL * tb.delth * tb.fr[nfre - 1] ** 2
+        coef_fr2 = WP2TAIL * tb.delth * tb.fr[nfre - 1] ** 3
+        sum0 += delt25 * temp
+        sum1 += coef_fr * temp
+        sum2 += coef_fr2 * temp
+        if sum0 > zeps:
+            xnu[ij] = math.sqrt(max(zeps, sum2 * sum0 / sum1**2 - 1.0))
+        else:
+            xnu[ij] = zeps
+
+        xmax, mmax = 0.0, 2                      # 1-based MMAX
+        for m in range(2, nfre):                 # Fortran M=2..NFRE-1
+            for k in range(nang):
+                if fl1[ij, k, m - 1] > xmax:
+                    mmax = m
+                    xmax = fl1[ij, k, m - 1]
+        s1, s2 = zeps, 0.0
+        sum_s, sum_c = 0.0, zeps
+        mmstart = max(1, mmax - nsh)
+        mmstop = min(nfre, mmax + nsh)
+        for m in range(mmstart, mmstop + 1):
+            for k in range(nang):
+                sum_s += tb.sinth[k] * fl1[ij, k, m - 1]
+                sum_c += tb.costh[k] * fl1[ij, k, m - 1]
+            thmean = math.atan2(sum_s, sum_c)
+            for k in range(nang):
+                s1 += fl1[ij, k, m - 1] * tb.dfim[m - 1]
+                s2 += math.cos(tb.th[k] - thmean) * fl1[ij, k, m - 1] \
+                    * tb.dfim[m - 1]
+        if s1 > zeps:
+            r1 = s2 / s1
+            sig_th[ij] = math.sqrt(2.0 * (1.0 - r1))
+        else:
+            sig_th[ij] = 0.0
+    return xnu, sig_th
+
+
+def transf_snl(xk0, d, xnu, sig_th):
+    """transf_snl.F90:30-85."""
+    eps = 0.0001
+    if d < BATHYMAX and d > 0.0:
+        x = xk0 * d
+        if x > DKMAX:
+            return 1.0
+        xk = max(xk0, XKDMIN / d)
+        x = xk * d
+        t_0 = math.tanh(x)
+        t_0_sq = t_0**2
+        om = math.sqrt(rt.G * xk * t_0)
+        c_0 = om / xk
+        c_s_sq = rt.G * d
+        if x < eps:
+            v_g = c_0
+        else:
+            v_g = 0.5 * c_0 * (1.0 + 2.0 * x / math.sinh(2.0 * x))
+        v_g_sq = v_g**2
+        dv_g = (t_0 - x * (1.0 - t_0_sq)) ** 2 + \
+            4.0 * x**2 * t_0_sq * (1.0 - t_0_sq)
+        xnl_1 = (9.0 * t_0_sq**2 - 10.0 * t_0_sq + 9.0) / \
+            (8.0 * t_0_sq * t_0)
+        xnl_2 = ((2.0 * v_g - 0.5 * c_0) ** 2 / (rt.G * d - v_g_sq)
+                 + 1.0) / x
+        xnl_4 = 1.0 / (4.0 * t_0) * (2.0 * c_0 + v_g
+                                     * (1.0 - t_0_sq)) ** 2 / \
+            (c_s_sq - v_g_sq)
+        alp = (1.0 - v_g_sq / c_s_sq) * c_0**2 / v_g_sq
+        zfac = sig_th**2 / (sig_th**2 + alp * xnu**2)
+        xnl = xnl_1 - xnl_2 + zfac * xnl_4
+        out = xnl**2 / (dv_g * t_0_sq**4)
+        return max(min(10.0, out), 0.1)
+    return 1.0
+
+
 def snonlin(fl1, fld, sl, wavnum, depth, akmean, tb, *, isnonlin=1):
     """snonlin.F90:120-495 — adds the DIA transfer onto (fld, sl)."""
     fld = fld.copy()
@@ -340,6 +435,18 @@ def snonlin(fl1, fld, sl, wavnum, depth, akmean, tb, *, isnonlin=1):
             for ij in range(npts):
                 enh[ij, mc] = max(min(ENH_MAX, transf(xk, depth[ij])),
                                   ENH_MIN)
+    elif isnonlin == 2:
+        xnu, sig_th = peak_ang(fl1, tb)
+        for mc in range(1, nfre + 1):
+            for ij in range(npts):
+                enh[ij, mc] = transf_snl(wavnum[ij, mc - 1], depth[ij],
+                                         xnu[ij], sig_th[ij])
+        for mc in range(nfre + 1, mlsthg + 1):
+            xk = rt.GM1 * (tb.zpifr[nfre - 1]
+                           * rt.FRATIO ** (mc - nfre)) ** 2
+            for ij in range(npts):
+                enh[ij, mc] = transf_snl(xk, depth[ij], xnu[ij],
+                                         sig_th[ij])
     else:
         raise NotImplementedError
 

@@ -69,7 +69,7 @@ def test_dia_tables_match_oracle():
 
 
 @pytest.mark.parametrize("nang,nfre", [(12, 25), (36, 29)])
-@pytest.mark.parametrize("isnonlin", [0, 1])
+@pytest.mark.parametrize("isnonlin", [0, 1, 2])
 def test_snonlin_oracle(nang, nfre, isnonlin):
     tb, fl1, depth, wavnum, akmean, fld, sl = _fields(nang, nfre, seed=7)
     dia = dia_mod.build_dia_tables(nang, nfre, tb.fr, tb.delth, tb.fratio)
