@@ -172,8 +172,16 @@ def cmd_preset(args):
     raw = provider(date14)
     frc = {k: jnp.asarray(pad_point_field(ms, np.asarray(v, np.float64)),
                           ms.dtype) for k, v in raw.items()}
-    fl1 = preset_mod.mstart(
-        ms.tb, np.asarray(frc["wswave"]), np.asarray(frc["wdwave"]))
+    if getattr(args, "swell", False):
+        # MSWELL path (preset.F90:657): swell-only cold start
+        lat = np.asarray(ms.grid.lats)[ms.blk.kxlt]
+        lon = ms.grid.amowep + ms.blk.ixlg * ms.grid.zdello[ms.blk.kxlt]
+        fl1 = preset_mod.mswell(
+            ms.tb, np.concatenate([lat, lat[:1].repeat(ms.n_pad - len(lat))]),
+            np.concatenate([lon, lon[:1].repeat(ms.n_pad - len(lon))]))
+    else:
+        fl1 = preset_mod.mstart(
+            ms.tb, np.asarray(frc["wswave"]), np.asarray(frc["wdwave"]))
     stress = stepper_mod.initial_stress(ms, frc)
     os.makedirs(args.rundir, exist_ok=True)
     fn = restart_mod.save_restart(args.rundir, date14, fl1, stress, frc)
@@ -342,6 +350,10 @@ def main(argv=None):
             sp.add_argument("--rundir", default="run")
         if name == "run":
             sp.add_argument("--validate", action="store_true")
+        if name == "preset":
+            sp.add_argument("--swell", action="store_true",
+                            help="MSWELL swell-only cold start "
+                                 "(preset.F90:657)")
     args = p.parse_args(argv)
     return args.fn(args)
 

@@ -84,3 +84,50 @@ def mstart(tb, wswave, wdwave, *, iopti: int = 1,
     et = jonswap_1d(tb.fr, fp, alphaj, zgamma, sa, sb)   # (npts, nfre)
     st = spread(tb.th, thes)                             # (npts, nang)
     return np.transpose(st[:, :, None] * et[:, None, :], (1, 2, 0))
+
+
+# MSWELL fixed swell systems (mswell.F90:66-95): (Hs, dir°, ωp, L, lat, lon)
+MSWELL_SYSTEMS = (
+    (2.0, 135.0, 0.3117, 250000.0, 47.0, 165.0),
+    (2.0, 90.0, 0.3117, 200000.0, -50.0, 20.0),
+    (2.0, 180.0, 0.3117, 200000.0, 35.0, 331.0),
+    (2.0, 45.0, 0.3117, 150000.0, 52.0, 329.0),
+)
+MSWELL_NSP = 5
+
+
+def mswell(tb, plat, plon):
+    """Swell-only cold start (mswell.F90:40-170): four localized swell
+    systems with ω^-(NSP+1) spectra, cos⁴ spreading and exponential
+    spatial decay over a great-circle distance scale.
+
+    Returns fl1 (nang, nfre, npts).
+    """
+    npts = len(plat)
+    nang, nfre = tb.nang, tb.nfre
+    fl1 = np.zeros((nang, nfre, npts))
+    cq0 = 16.0 / (3.0 * c.ZPI)
+    omega = c.ZPI * np.asarray(tb.fr)                  # (nfre,)
+    nsp = MSWELL_NSP
+    for (h0, th0_deg, omegap, xl, lat0, lon0) in MSWELL_SYSTEMS:
+        theta0 = c.RAD * th0_deg
+        cosdir = np.cos(np.asarray(tb.th) - theta0)
+        q0 = np.where(cosdir > 0.0, cq0 * cosdir**4, 0.0)
+        e0 = h0**2 / 16.0
+        cex = (nsp + 1.0) / nsp
+        cs0 = (nsp + 1) * e0 * omegap**nsp
+        s0 = (cs0 / omega ** (nsp + 1)) * np.exp(
+            -cex * (omegap / omega) ** nsp)
+        s0 = np.where(s0 < 0.001, 0.0, s0)
+        fl0 = q0[:, None] * s0[None, :]                # (nang, nfre)
+        # haversine angular distance (yowsphere.F90:33-80)
+        slat = np.sin(0.5 * (lat0 - np.asarray(plat)) * c.RAD) ** 2
+        slon = np.sin(0.5 * (lon0 - np.asarray(plon)) * c.RAD) ** 2
+        h = np.sqrt(np.maximum(
+            slat + np.cos(lat0 * c.RAD)
+            * np.cos(np.asarray(plat) * c.RAD) * slon, 0.0))
+        ang = 2.0 * np.arcsin(np.minimum(h, 1.0))
+        dist = 2.0 * c.R_EARTH * ang / xl
+        sprd = np.where(dist < 10.0, np.exp(-dist), 0.0)
+        fl1 += fl0[:, :, None] * sprd[None, None, :]
+    return fl1

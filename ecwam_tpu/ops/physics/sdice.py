@@ -23,8 +23,7 @@ import jax.numpy as jnp
 from ecwam_tpu.core import constants as c
 
 XIMP = 1.0
-CDICWA = 1.0e-5         # default ice-water drag (not in mpuserin defaults;
-#                         namelist-tunable; harmless placeholder scale)
+CDICWA = 0.01           # ice-water drag for LCIWA2 (userin.F90:973-975)
 ZALPFACB = 1.0          # attenuation scale factor (mpuserin.F90:780)
 ZALPFACX = 10.0         # broken-ice attenuation reduction
 ZIBRW_THRSH = 0.5       # ice-break memory threshold

@@ -162,3 +162,26 @@ def test_cli_end_to_end(tmp_path):
     for p in swh_lines:
         avg = float(p[3])
         assert 0.0 < avg < 20.0
+
+
+def test_mswell_preset():
+    """MSWELL swell systems (mswell.F90:66-170): energy localized around
+    the four seed locations, zero far away."""
+    import numpy as np
+    from ecwam_tpu.core.spectral import build_spectral_tables
+    from ecwam_tpu.model import preset
+
+    tb = build_spectral_tables(nang=12, nfre=25)
+    plat = np.array([47.0, -50.0, 0.0, 47.0])
+    plon = np.array([165.0, 20.0, 250.0, 345.0])   # 2 seeds, 2 far away
+    fl1 = preset.mswell(tb, plat, plon)
+    em = fl1.sum(axis=(0, 1))
+    assert em[0] > 0.0 and em[1] > 0.0
+    assert em[2] == 0.0 and em[3] == 0.0
+    # Hs at a seed centre: the reference writes Q0·S0(ω) straight into
+    # the f-density FL1 without the 2π Jacobian (mswell.F90:137-146), so
+    # H0=2 m seeds integrate to Hs = 2/√(2π) ≈ 0.80 m — reproduced here.
+    dfim = np.asarray(tb.dfim)
+    e0 = (fl1[:, :, 0].sum(axis=0) * dfim).sum()
+    hs = 4.0 * np.sqrt(e0)
+    np.testing.assert_allclose(hs, 2.0 / np.sqrt(2.0 * np.pi), rtol=0.02)
