@@ -81,11 +81,14 @@ def run_grid(grid_name, steps, profile_dir):
     # bins, Δt_adv = 450 s, Δt_phys = 900 s → physics every 2nd step.
     # phys_chunk bounds the source-term intermediates (NPROMA chunking);
     # pad_to == phys_chunk keeps the chunk count integral.
+    import sys
     chunk = 32768
+    otf_block = int(os.environ.get("ECWAVE_BENCH_OTF_BLOCK", "8"))
+    print(f"[bench] building {grid_name}", file=sys.stderr, flush=True)
     ms = setup_mod.build_model(
         grid_name=grid_name, nang=36, nfre=29,
         idelpro=450.0, idelt=900.0, pad_to=chunk, dtype=jnp.float32,
-        weights_mode="otf", otf_block=1, phys_chunk=chunk)
+        weights_mode="otf", otf_block=otf_block, phys_chunk=chunk)
 
     n = ms.n_pad
     rng = np.random.default_rng(0)
@@ -119,13 +122,20 @@ def run_grid(grid_name, steps, profile_dir):
         return stepper_mod._chunked_implsch(ms, f, env, frc, stress)
 
     adv_args = (fl1, st_arrays, cg_ext, wenv)
-    phys_args = (fl1, frc, stress, env)
-    b_adv = cost_bytes(adv.lower(*adv_args))
-    b_phys = cost_bytes(phys.lower(*phys_args))
+    b_adv = b_phys = float("nan")
+    if os.environ.get("ECWAVE_BENCH_COST", "0") == "1":
+        # XLA cost analysis costs a second compile and is unreliable
+        # through the axon relay — opt-in only.
+        b_adv = cost_bytes(adv.lower(*adv_args))
+        b_phys = cost_bytes(phys.lower(fl1, frc, stress, env))
 
+    print("[bench] compiling advection", file=sys.stderr, flush=True)
     f = adv(*adv_args)
+    sync(jax, jnp, f)
+    print("[bench] compiling physics", file=sys.stderr, flush=True)
     f, state = phys(f, frc, stress, env)
     sync(jax, jnp, f)
+    print("[bench] timing", file=sys.stderr, flush=True)
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -188,7 +198,7 @@ def main():
     steps = int(os.environ.get("ECWAVE_BENCH_STEPS", "5"))
     forced = os.environ.get("ECWAVE_BENCH_GRID")
     profile_dir = os.environ.get("ECWAVE_BENCH_PROFILE")
-    candidates = [forced] if forced else ["O640", "O512", "O400", "O320"]
+    candidates = [forced] if forced else ["O512", "O400", "O320"]
 
     last_err = None
     for grid_name in candidates:

@@ -563,3 +563,19 @@ def obstructions_to_block(obs: dict, blk) -> tuple:
     obslon = obs["kobslon"][:, kx, ix, :]
     obscor = obs["kobscor"][:, kx, ix, :]
     return obslat, obslon, obscor
+
+
+def combine_bathy_lakes(topo: TopoData, lakes: "TopoData | np.ndarray",
+                        *, min_lake_depth: float = 1.0) -> TopoData:
+    """Merge lake depths into a land topography
+    (combine_bathy_laked.F90:60-300 role): where the lake data set marks
+    water (negative elevation ≤ −min_lake_depth) over land in ``topo``,
+    carve the lake in.
+    """
+    lelev = lakes.elev if isinstance(lakes, TopoData) else np.asarray(lakes)
+    if lelev.shape != topo.elev.shape:
+        raise ValueError("lake grid must match the topo grid")
+    land = topo.elev > 0.0
+    lake = lelev <= -min_lake_depth
+    elev = np.where(land & lake, lelev, topo.elev)
+    return TopoData(invres=topo.invres, elev=elev)

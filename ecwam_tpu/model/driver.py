@@ -169,6 +169,17 @@ class WaveModel:
             self.date += _dt.timedelta(seconds=s.idelpro)
         return self
 
+    def memory_report(self) -> dict:
+        """Device-memory snapshot (EC_MEMINFO role, runwam.F90:420-432)."""
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+        except Exception:
+            stats = {}
+        return dict(
+            bytes_in_use=stats.get("bytes_in_use"),
+            peak_bytes_in_use=stats.get("peak_bytes_in_use"),
+            bytes_limit=stats.get("bytes_limit"))
+
     # ---- diagnostics -----------------------------------------------------
     def swh(self) -> np.ndarray:
         """Significant wave height over real sea points."""

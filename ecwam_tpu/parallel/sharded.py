@@ -134,6 +134,17 @@ class ShardedModel:
         return self._step(fl1, frc, stress, self.weights,
                           self._stencil_dev, self._env_dev)
 
+    def norms(self, field_layout, n_real: int | None = None):
+        """Reproducible avg/min/max over real sea points (MPMINMAXAVG,
+        mpminmaxavg.F90:44): gather to host in GLOBAL block order and
+        reduce there, so the result is bit-identical for any shard
+        count (the reference's LLNORMWAMOUT_GLOBAL gather-to-one-rank
+        mode)."""
+        n = n_real if n_real is not None else self.setup.n_real
+        v = self.from_layout(np.asarray(field_layout))[..., :n]
+        return dict(average=float(v.mean()), minimum=float(v.min()),
+                    maximum=float(v.max()), count=int(v.size))
+
 
 
 def build_sharded_model(setup: ModelSetup, mesh: Mesh) -> ShardedModel:

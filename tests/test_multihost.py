@@ -73,3 +73,19 @@ def test_parallel_restart_roundtrip_across_shard_counts(tmp_path):
     a4 = sm4.from_layout(np.asarray(out4))
     a8 = sm8.from_layout(np.asarray(out8))
     np.testing.assert_allclose(a4, a8, rtol=2e-4, atol=1e-10)
+
+
+def test_sharded_norms_shard_count_invariant(tmp_path):
+    """MPMINMAXAVG equivalence: norms identical for 4 vs 8 shards."""
+    ms = _model()
+    rng = np.random.default_rng(5)
+    ws = 8.0 + 4.0 * rng.random(ms.n_pad)
+    wd = rng.random(ms.n_pad) * 2 * np.pi
+    fl1 = np.asarray(preset.mstart(ms.tb, ws, wd), np.float32)
+    em = fl1.sum(axis=(0, 1))                    # any per-point field
+    out = {}
+    for nsh in (4, 8):
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:nsh]), ("pts",))
+        sm = sharded.build_sharded_model(ms, mesh)
+        out[nsh] = sm.norms(sm.device_put(em))
+    assert out[4] == out[8]

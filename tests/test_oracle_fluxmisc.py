@@ -110,3 +110,43 @@ def test_halphap_oracle(data):
         data["fl1"].transpose(2, 0, 1), data["props"]["wavnum"],
         data["coswdif"].T.copy(), otb, alphapmax=params.alphapmax)
     check(got, want, "halp")
+
+
+def test_gc_subsystem_oracle():
+    """INITGC tables / NS_GC / OMEGAGC / STRESS_GC vs the transcription
+    (initgc.F90, ns_gc.F90, stress_gc.F90)."""
+    import jax.numpy as jnp
+    from ecwam_tpu.ops.physics import gc as gc_mod
+    from oracle import gco
+
+    t = gco.initgc()
+    gct = gc_mod.gc_tables()
+    assert gct.nwav == t["nwav"]
+    for mine, want in (
+            (gct.xk, t["xk"]), (gct.omega, t["omega"]),
+            (gct.c2osqrtvg, t["c2osqrtvg"]),
+            (gct.delkcc_ns, t["delkcc_ns"]),
+            (gct.delkcc, t["delkcc"])):
+        np.testing.assert_allclose(np.asarray(mine), want, rtol=1e-13)
+
+    rng = np.random.default_rng(23)
+    n = 16
+    ust = rng.uniform(0.03, 1.8, n)
+    ns, xks, oms = gc_mod.omegagc(jnp.asarray(ust), gct)
+    ons, oxks, ooms = gco.omegagc(ust, t)
+    np.testing.assert_array_equal(np.asarray(ns) + 1, ons)
+    np.testing.assert_allclose(np.asarray(xks), oxks, rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(oms), ooms, rtol=1e-13)
+
+    params = pp.set_phys_params(iphys=1, nang=12, llgcbz0=True,
+                                llnormagam=True)
+    z0 = np.exp(rng.uniform(np.log(1e-5), np.log(3e-3), n))
+    halp = rng.uniform(0.002, 0.015, n)
+    rnf = rng.uniform(0.8, 1.2, n)
+    ang = rng.uniform(0.3, 1.0, n)
+    got = gc_mod.stress_gc(jnp.asarray(ang), jnp.asarray(ust),
+                           jnp.asarray(z0), 1e-6, jnp.asarray(halp),
+                           jnp.asarray(rnf), gct, params)
+    want = np.array([gco.stress_gc(ang[i], ust[i], z0[i], 1e-6, halp[i],
+                                   rnf[i], t, params) for i in range(n)])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-11)
