@@ -238,10 +238,26 @@ def run_model(cfg: RunConfig, rundir: str, *, dtype=None, quiet=False):
     grib_out = (cfg.output_fields is not None
                 and cfg.output_fields.format == "grib")
 
+    # second-order correction of the output spectrum (outblock.F90:173;
+    # LSECONDORDER defaults true, mpuserin.F90:594).  Output-side only —
+    # the prognostic state is never modified.
+    so_correct = None
+    if cfg.lsecondorder and known:
+        import jax
+        from ecwam_tpu.ops import secondorder as so_mod
+        so_tables = so_mod.build_second_order_tables(ms.tb)
+        so_correct = jax.jit(
+            lambda fl, wn, dp: so_mod.cal_second_order_spec(
+                fl, wn, dp, ms.tb, so_tables, sig=1.0))
+
     def do_output(date):
         d14 = _fmt14(date)
+        fl_out = model.fl1
+        if so_correct is not None:
+            fl_out = so_correct(model.fl1, ms.env["wavnum"],
+                                ms.env["depth"])
         fields = products_mod.compute(
-            known, model.fl1, ms.tb, {**model.state, **model.stress},
+            known, fl_out, ms.tb, {**model.state, **model.stress},
             model.frc, ms.phys.params, env=ms.env,
             llgcbz0=ms.phys.params.llgcbz0)
         host = {n: np.asarray(fields[n])[: ms.n_real] for n in known}

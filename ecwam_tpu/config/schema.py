@@ -114,6 +114,8 @@ class RunConfig:
     llcapchnk: bool = False
     lciwa3: bool = False
     lciscal: bool = False
+    # second-order correction of output spectra (mpuserin.F90:594 default)
+    lsecondorder: bool = True
     nproma: int = 32           # accepted for compat; TPU build ignores it
     validation: dict = dataclasses.field(default_factory=dict)
     raw: dict = dataclasses.field(default_factory=dict, repr=False)
@@ -208,6 +210,7 @@ class RunConfig:
             llcapchnk=_bool(raw.get("llcapchnk", False)),
             lciwa3=_bool(raw.get("lciwa3", False)),
             lciscal=_bool(raw.get("lciscal", False)),
+            lsecondorder=_bool(raw.get("lsecondorder", True)),
             nproma=int(raw.get("nproma", 32)),
             validation=raw.get("validation", {}) or {},
             raw=raw)
