@@ -230,7 +230,21 @@ def run_model(cfg: RunConfig, rundir: str, *, dtype=None, quiet=False):
     frc_dates = set(cfg.forcing_dates())
     rst_dates = set(cfg.restart_times)
     names = cfg.output_fields.names if cfg.output_fields else ("swh",)
-    known = [n for n in names if n in products_mod.CATALOG]
+
+    # FFLAG/GFLAG/NFLAG output control (mpcrtbl.F90/userin.F90 roles)
+    from ecwam_tpu.io import outcontrol
+    oc = outcontrol.OutputControl.from_names(
+        [n for n in names if n in outcontrol.BY_NAME
+         or n in outcontrol._ALIASES],
+        fmt=(cfg.output_fields.format if cfg.output_fields else "grib"),
+        grib_restart=(cfg.restart_format == "grib"))
+    if cfg.output_fields and cfg.output_fields.windows:
+        oc.check_output_interval(cfg.output_fields.windows[0].timestep,
+                                 cfg.adv_timestep, cfg.phys_timestep)
+    known = [n for n in oc.output_names() if n in products_mod.CATALOG]
+    norm_set = set(oc.norm_names())
+    grib_set = set(oc.grib_names()) | set(oc.file_names())
+    licerun = cfg.forcings_file is not None
 
     log = norms_mod.StatisticsLog()
     saved = []
@@ -261,13 +275,20 @@ def run_model(cfg: RunConfig, rundir: str, *, dtype=None, quiet=False):
             model.frc, ms.phys.params, env=ms.env,
             llgcbz0=ms.phys.params.llgcbz0)
         host = {n: np.asarray(fields[n])[: ms.n_real] for n in known}
+        # OUTSETWMASK: ice/shallow masking of flagged output params
+        host = outcontrol.apply_output_masks(
+            host, cicover=np.asarray(model.frc["cicover"])[: ms.n_real],
+            licerun=licerun)
         for n in known:
-            log.add(n, d14, host[n])
+            if n in norm_set:
+                log.add(n, d14, host[n],
+                        missing_mask=(host[n] == outcontrol.c.ZMISS))
         if grib_out:
             from ecwam_tpu.io import gribout
             gribout.write_fields(
                 os.path.join(rundir, f"MPP{d14}.grib"),
-                host, ms.blk, ms.grid, d14)
+                {n: v for n, v in host.items() if n in grib_set},
+                ms.blk, ms.grid, d14)
 
     # step 0 output (OUTSTEP0, initmdl.F90:1101)
     if cfg.begin in out_dates or not out_dates:

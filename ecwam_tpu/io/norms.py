@@ -41,7 +41,11 @@ def norm_entry(name: str, date14: str, values: np.ndarray,
                missing_mask=None) -> dict:
     v = np.asarray(values, dtype=np.float64)
     if missing_mask is not None:
-        v = v[~missing_mask]
+        v = v[~np.asarray(missing_mask, bool)]
+    if v.size == 0:
+        return dict(time=date14, index=PARAM_INDEX.get(name, 0), name=name,
+                    average=0.0, minimum=0.0, maximum=0.0,
+                    non_missing_points=0)
     return dict(
         time=date14, index=PARAM_INDEX.get(name, 0), name=name,
         average=float(v.mean()), minimum=float(v.min()),
