@@ -126,3 +126,40 @@ def load_sharded_restart(dirpath: str, date14: str, n_global: int):
                     stress_g[name] = np.zeros(n_global, z[k].dtype)
                 stress_g[name][gidx] = z[k][own]
     return fl1_g, stress_g
+
+
+def write_distributed_fields(rundir: str, date14: str, fields: dict,
+                             outctl, blk, grid, *,
+                             process_index: int | None = None,
+                             num_processes: int | None = None) -> list[str]:
+    """OUTGRID writer-rank output (outgrid.F90:64-212 role).
+
+    Each output field is assigned a writer process by the IPFGTBL
+    round-robin (io/outcontrol.py); this process GRIB-encodes and writes
+    only the fields it owns, into its own ``MPP<date>.w<rank>.grib`` so
+    no two writers touch the same file.  ``fields`` must be host-global
+    (n_real,) arrays (gather them with
+    ``jax.experimental.multihost_utils.process_allgather`` or
+    ``ShardedModel.from_layout`` first — the MPGATHERFL role).
+
+    Writer ranks beyond the process count wrap around, so the same
+    config works at any NPROC (mpcrtbl.F90:481-484 wraps at NPROC too).
+    """
+    from ecwam_tpu.io import gribout
+
+    pid = jax.process_index() if process_index is None else process_index
+    npr = jax.process_count() if num_processes is None else num_processes
+    os.makedirs(rundir, exist_ok=True)
+
+    mine = {}
+    for name, vals in fields.items():
+        r = outctl.writer_rank(name)
+        if r < 0:                       # norms-only field — nobody writes
+            continue
+        if r % npr == pid:
+            mine[name] = vals
+    if not mine:
+        return []
+    fn = os.path.join(rundir, f"MPP{date14}.w{pid}.grib")
+    gribout.write_fields(fn, mine, blk, grid, date14)
+    return [fn]

@@ -89,3 +89,39 @@ def test_sharded_norms_shard_count_invariant(tmp_path):
         sm = sharded.build_sharded_model(ms, mesh)
         out[nsh] = sm.norms(sm.device_put(em))
     assert out[4] == out[8]
+
+
+def test_writer_rank_distributed_output(tmp_path):
+    """OUTGRID role: fields split over writer processes, every field
+    written exactly once, readable back (outgrid.F90:64-212)."""
+    import numpy as np
+    from ecwam_tpu.parallel import multihost
+    from ecwam_tpu.io.outcontrol import OutputControl
+    from ecwam_tpu.io import grib as grib_mod
+    from ecwam_tpu.core.grid import (regular_grid, build_sea_point_block,
+                                     aqua_bathymetry)
+
+    grid = regular_grid(12.0)
+    blk = build_sea_point_block(grid, aqua_bathymetry(grid))
+    names = ["swh", "mwd", "mwp", "pp1d", "shww"]
+    oc = OutputControl.from_names(names, fmt="grib", nproc=3, lfdb=True)
+    rng = np.random.default_rng(3)
+    fields = {nm: rng.uniform(0.5, 4.0, blk.nsea) for nm in names}
+
+    written = {}
+    for pid in range(3):
+        for fn in multihost.write_distributed_fields(
+                str(tmp_path), "20230101120000", fields, oc, blk, grid,
+                process_index=pid, num_processes=3):
+            written[pid] = fn
+
+    # every writer got some fields, and the union covers all of them
+    msgs = 0
+    for fn in written.values():
+        with open(fn, "rb") as f:
+            data = f.read()
+        msgs += data.count(b"GRIB")
+    assert msgs == len(names)
+    # round-robin assignment matches IPFGTBL (mpcrtbl.F90:481-484)
+    ranks = [oc.writer_rank(nm) for nm in names]
+    assert ranks == [0, 1, 2, 0, 1]
