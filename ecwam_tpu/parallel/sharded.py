@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ecwam_tpu.model.setup import ModelSetup
 from ecwam_tpu.ops import propagation as prop
 from ecwam_tpu.ops.physics import implsch as impl
-from ecwam_tpu.parallel import decomp
+from ecwam_tpu.parallel import decomp, decomp2d
 
 ENV_POINT_FIELDS = ("wavnum", "cinv", "cgroup", "xk2cg", "omosnh2kd",
                     "stokfac", "depth", "emaxdpt", "ucur", "vcur")
@@ -147,17 +147,59 @@ class ShardedModel:
 
 
 
-def build_sharded_model(setup: ModelSetup, mesh: Mesh) -> ShardedModel:
-    """Assemble the sharded step for a 1-D mesh with axis name 'pts'."""
+def build_sharded_model(setup: ModelSetup, mesh: Mesh,
+                        layout2d: tuple | None = None) -> ShardedModel:
+    """Assemble the sharded step over a flattened 1-D mesh axis 'pts'.
+
+    ``layout2d=(nlat, nlon)`` switches from the 1-D row-band decomposition
+    (slab ppermute halos) to the reference's 2-D patch decomposition
+    (mpdecomp.F90 LL1D=.FALSE.) with a gather-based exchange: one
+    ppermute per active torus direction ships exactly the points the
+    neighbour's stencil reads (O(perimeter) instead of O(row) volume).
+    """
     n_shards = mesh.devices.size
-    ss = decomp.build_sharded_stencil(
-        setup.stencil, n_shards,
-        row_start=np.asarray(setup.blk.row_start))
-    halo = ss.halo
+    if layout2d is not None:
+        nlat, nlon = layout2d
+        if nlat * nlon != n_shards:
+            raise ValueError(f"layout2d {layout2d} != {n_shards} devices")
+        ss = decomp2d.build_sharded2d_stencil(
+            setup.stencil, nlat, nlon,
+            row_start=np.asarray(setup.blk.row_start))
+        own = slice(0, ss.shard_size)
+        exch_tables = {k: v for k, v in ss.send_idx.items()}
+
+        def make_ex(sargs):
+            def ex(f, land_col=None):
+                parts = [f]
+                for a in range(len(ss.deltas)):
+                    buf = jnp.take(f, sargs[f"send{a}"][0], axis=-1)
+                    parts.append(jax.lax.ppermute(
+                        buf, "pts", ss.perm_pairs[a]))
+                if land_col is None:
+                    land = jnp.zeros(f.shape[:-1] + (1,), f.dtype)
+                else:
+                    land = jnp.broadcast_to(
+                        jnp.asarray(land_col, f.dtype)[..., None],
+                        f.shape[:-1] + (1,))
+                parts.append(land)
+                return jnp.concatenate(parts, axis=-1)
+            return ex
+    else:
+        ss = decomp.build_sharded_stencil(
+            setup.stencil, n_shards,
+            row_start=np.asarray(setup.blk.row_start))
+        halo = ss.halo
+        own = slice(halo, halo + ss.shard_size)
+        exch_tables = {}
+
+        def make_ex(sargs):
+            return lambda f, land_col=None: halo_exchange(
+                f, halo, "pts", land_col=land_col)
+
     tb = setup.tb
     nfre_red = tb.nfre_red
 
-    stencil_args = _stencil_arrays(ss)
+    stencil_args = {**_stencil_arrays(ss), **exch_tables}
     # env in layout order (pads replicate point 0 like the trailing pads)
     env = {k: ss.to_layout(np.asarray(setup.env[k]))
            for k in ENV_POINT_FIELDS if k in setup.env}
@@ -173,8 +215,6 @@ def build_sharded_model(setup: ModelSetup, mesh: Mesh) -> ShardedModel:
                      for k, v in stencil_args.items()}
     env_specs = {k: spec_of(v) for k, v in env.items()}
 
-    own = slice(halo, halo + ss.shard_size)
-
     # land-slot columns for the PROENVHALO exchanges
     land_cols = {k: np.asarray(setup.env[f"{k}_ext"])[..., -1]
                  for k in ("wavnum", "cgroup", "omosnh2kd", "depth")}
@@ -184,20 +224,17 @@ def build_sharded_model(setup: ModelSetup, mesh: Mesh) -> ShardedModel:
     # ---------------- weights (CTUWUPDT + PROPDOT, cached) ------------
     def local_weights(sargs, envl):
         st = _local_stencil(sargs, ss.xdella)
-        cg_ext = halo_exchange(envl["cgroup"][:nfre_red], halo, "pts",
-                               land_col=cg_land)
+        ex = make_ex(sargs)
+        cg_ext = ex(envl["cgroup"][:nfre_red], land_col=cg_land)
         refr = {}
         if setup.irefra:
-            wavnum_ext = halo_exchange(
-                envl["wavnum"][:nfre_red], halo, "pts",
-                land_col=land_cols["wavnum"][:nfre_red])
-            omos_ext = halo_exchange(
-                envl["omosnh2kd"][:nfre_red], halo, "pts",
-                land_col=land_cols["omosnh2kd"][:nfre_red])
-            depth_ext = halo_exchange(envl["depth"], halo, "pts",
-                                      land_col=land_cols["depth"])
-            u_ext = halo_exchange(envl["ucur"], halo, "pts")
-            v_ext = halo_exchange(envl["vcur"], halo, "pts")
+            wavnum_ext = ex(envl["wavnum"][:nfre_red],
+                            land_col=land_cols["wavnum"][:nfre_red])
+            omos_ext = ex(envl["omosnh2kd"][:nfre_red],
+                          land_col=land_cols["omosnh2kd"][:nfre_red])
+            depth_ext = ex(envl["depth"], land_col=land_cols["depth"])
+            u_ext = ex(envl["ucur"])
+            v_ext = ex(envl["vcur"])
             thdd, thdc, sdot = prop.propdot(
                 st, tb, wavnum_ext, cg_ext, omos_ext,
                 depth_ext, u_ext, v_ext, setup.irefra, own=own)
@@ -257,6 +294,7 @@ def build_sharded_model(setup: ModelSetup, mesh: Mesh) -> ShardedModel:
     # ---------------- step --------------------------------------------
     def local_step(fl1, frc, stress, weights, sargs, envl):
         st = _local_stencil(sargs, ss.xdella)
+        ex = make_ex(sargs)
         wlist = tuple(dict(wb, mstart=mb[0], mend=mb[1])
                       for wb, mb in zip(weights, mbounds))
         if setup.ifrelfmax > 0:
@@ -264,16 +302,14 @@ def build_sharded_model(setup: ModelSetup, mesh: Mesh) -> ShardedModel:
             nsub = max(1, round(setup.idelpro / setup.delpro_lf))
             lf = fl1[:, : setup.ifrelfmax]
             for _ in range(nsub):
-                lf = prop.propags2(
-                    halo_exchange(lf, halo, "pts"), w_lf, st, tb, own=own)
+                lf = prop.propags2(ex(lf), w_lf, st, tb, own=own)
             hf = prop.propags2(
-                halo_exchange(fl1[:, setup.ifrelfmax:nfre_red], halo,
-                              "pts"), w_hf, st, tb, own=own)
+                ex(fl1[:, setup.ifrelfmax:nfre_red]), w_hf, st, tb,
+                own=own)
             adv = jnp.concatenate([lf, hf], axis=1)
         else:
             adv = prop.propags2(
-                halo_exchange(fl1[:, :nfre_red], halo, "pts"), wlist[0],
-                st, tb, own=own)
+                ex(fl1[:, :nfre_red]), wlist[0], st, tb, own=own)
         if nfre_red < tb.nfre:
             fl1 = jnp.concatenate([adv, fl1[:, nfre_red:]], axis=1)
         else:
