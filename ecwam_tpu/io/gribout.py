@@ -45,7 +45,9 @@ def block_to_grid(values, blk, grid, missing=grib.MISSING):
     return np.concatenate(rows[::-1])
 
 
-def encode_field(name: str, values_block, blk, grid, date14: str) -> bytes:
+def encode_field(name: str, values_block, blk, grid, date14: str,
+                 edition: int = 1) -> bytes:
+    """GRIB edition 1 or 2 (wgribencode.F90 IGRIB_EDITION selection)."""
     pid = PARAM_IDS.get(name, 140080)
     table, param = divmod(pid, 1000)
     flat = block_to_grid(values_block, blk, grid)
@@ -60,14 +62,17 @@ def encode_field(name: str, values_block, blk, grid, date14: str) -> bytes:
         dj=int(round(grid.xdella * 1000)),
         data_date=int(date14[:8]), data_time=int(date14[8:12]),
         bits_per_value=16)
-    return grib.encode_message(flat, meta, pl=pl, use_bitmap=True)
+    return grib.encode_message(flat, meta, pl=pl, use_bitmap=True,
+                               edition=edition)
 
 
-def write_fields(path: str, fields: dict, blk, grid, date14: str):
+def write_fields(path: str, fields: dict, blk, grid, date14: str,
+                 edition: int = 1):
     """fields: name → (n_real,) values.  Appends one message per field."""
     with open(path, "ab") as f:
         for name, vals in fields.items():
-            f.write(encode_field(name, vals, blk, grid, date14))
+            f.write(encode_field(name, vals, blk, grid, date14,
+                                 edition=edition))
 
 
 def read_field_grid(msg: grib.GribMessage, grid):
