@@ -1,0 +1,182 @@
+"""Step bundle for the fused (single-pass weights+stencil) propagation.
+
+Drives ops/propagation_fused.py: the model state stays in the compact
+(nang, nfre, n_pad) layout; each advection step gathers it into the
+segmented row layout (SRL), runs the fused CTU pass(es) — one all-band
+pass with per-frequency Δt plus the extra fast-wave substeps
+(propag_wam.F90:247-313) — and scatters back.
+
+Refraction inputs (θ̇/σ̇ gradient coefficients, propdot.F90:60-150) and
+the CFL current-retry mask (ctuw.F90:114-123) are recomputed only on
+:meth:`refresh` (the reference's LUPDTWGHT), not per step.  All device
+arrays travel in a ``bundle`` pytree passed as a jit argument — never as
+closure constants (large constants bloat the serialized HLO).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ecwam_tpu.ops import propagation as prop
+from ecwam_tpu.ops import propagation_fused as pfz
+
+
+def _np_env(setup, key):
+    return np.asarray(setup.env[key], np.float64)
+
+
+class FusedPropagation:
+    """Static config + refreshable device ``bundle`` for the fused step."""
+
+    def __init__(self, setup):
+        ft = setup.fused
+        if ft is None:
+            raise ValueError("setup was not built with weights_mode='fused'")
+        self.setup = setup
+        self.ft = ft
+        tb = setup.tb
+        self.nang = tb.nang
+        self.nfre_red = tb.nfre_red
+        self.L = self.nang * self.nfre_red
+        dt = self.dtype = setup.dtype
+        self.backend = "xla"
+
+        dev = pfz.device_tables(ft, dt)
+        fs = np.asarray(ft.from_srl)
+        pad = np.full(setup.n_pad - ft.npts, fs[0] if fs.size else 0,
+                      fs.dtype)
+        from_srl_pad = jnp.asarray(np.concatenate([fs, pad]), jnp.int32)
+
+        src = np.asarray(ft.srl_src)
+        cg_ext_t = _np_env(setup, "cgroup_ext").T        # (n_pad+1, nfre)
+        cg_srl = jnp.asarray(cg_ext_t[src][:, :self.nfre_red], dt)
+        cg_land = jnp.asarray(cg_ext_t[-1, :self.nfre_red], dt)
+
+        if setup.irefra:
+            omos_t = _np_env(setup, "omosnh2kd_ext").T
+            wav_t = _np_env(setup, "wavnum_ext").T
+            pf = np.stack([omos_t, cg_ext_t * wav_t, omos_t * wav_t],
+                          axis=1)
+            dev["pf"] = jnp.asarray(pf[src][:, :, :self.nfre_red], dt)
+
+        dtf = np.full(self.nfre_red, setup.idelpro)
+        if setup.ifrelfmax > 0:
+            dtf[: setup.ifrelfmax] = setup.delpro_lf
+        lc = _cast_lc(pfz.lane_consts(tb, dtf, self.nfre_red), dt)
+        self.nsub = (max(1, round(setup.idelpro / setup.delpro_lf))
+                     if setup.ifrelfmax > 0 else 1)
+        lc_lo = None
+        if self.nsub > 1:
+            dtl = np.full(setup.ifrelfmax, setup.delpro_lf)
+            lc_lo = _cast_lc(pfz.lane_consts(tb, dtl, setup.ifrelfmax), dt)
+
+        self.bundle = dict(dev=dev, cg_srl=cg_srl, cg_land=cg_land,
+                           lc=lc, lc_lo=lc_lo, from_srl_pad=from_srl_pad)
+        self.refresh()
+
+    # -- LUPDTWGHT / GETCURR ------------------------------------------
+    def refresh(self, ucur=None, vcur=None):
+        """Recompute current/refraction inputs + the CFL retry mask.
+        ``ucur``/``vcur`` are compact (n_pad,) arrays (GETCURR)."""
+        setup = self.setup
+        dev = dict(self.bundle["dev"])
+        src = np.asarray(self.ft.srl_src)
+        u_ext = v_ext = None
+        if setup.irefra in (2, 3):
+            if ucur is not None:
+                u_ext = np.concatenate(
+                    [np.asarray(ucur, np.float64)[:setup.n_pad], [0.0]])
+                v_ext = np.concatenate(
+                    [np.asarray(vcur, np.float64)[:setup.n_pad], [0.0]])
+            else:
+                u_ext = _np_env(setup, "ucur_ext")
+                v_ext = _np_env(setup, "vcur_ext")
+            dev["uv"] = jnp.asarray(
+                np.stack([u_ext[src], v_ext[src]], axis=-1), self.dtype)
+
+        if setup.irefra:
+            zeros = np.zeros(setup.n_pad + 1)
+            g = {k: np.asarray(v, np.float64) for k, v in prop.gradi(
+                setup.stencil, _np_env(setup, "depth_ext"),
+                u_ext if u_ext is not None else zeros,
+                v_ext if v_ext is not None else zeros,
+                setup.irefra).items()}
+            dco = np.asarray(setup.stencil.cosphm1_pt, np.float64)
+            omdd = np.zeros(setup.n_pad)
+            if setup.irefra == 3:
+                omdd = (v_ext[:setup.n_pad] * g["ddphi"]
+                        + u_ext[:setup.n_pad] * g["ddlam"] * dco)
+            grads = np.zeros((setup.n_pad + 1, 8))
+            grads[:-1, 0] = g["ddphi"]
+            grads[:-1, 1] = g["ddlam"] * dco
+            grads[:-1, 2] = g["duphi"]
+            grads[:-1, 3] = g["dvphi"]
+            grads[:-1, 4] = g["dulam"] * dco
+            grads[:-1, 5] = g["dvlam"] * dco
+            grads[:-1, 6] = omdd
+            dev["grads"] = jnp.asarray(grads[src], self.dtype)
+
+        self.bundle = dict(self.bundle, dev=dev)
+        if setup.irefra in (2, 3):
+            # CFL current-retry (ctuw.F90:114-123): disable the current
+            # terms wherever the first-pass CFL check fails
+            _, cfl = _advect_srl(
+                self, jnp.zeros((self.ft.nsrl, self.L), self.dtype),
+                self.bundle, with_cfl=True)
+            mask = 1.0 - jnp.asarray(cfl, self.dtype)
+            dev = dict(self.bundle["dev"])
+            dev["grads"] = dev["grads"].at[:, 2:7].mul(mask[:, None])
+            self.bundle = dict(self.bundle, dev=dev)
+
+    # -- pure step (jit this with bundle as an argument) ---------------
+    def advect(self, fl1, bundle):
+        """One full advection step on the compact (nang, nfre, n_pad)
+        spectrum, incl. fast-wave substeps.  Pure in (fl1, bundle)."""
+        setup = self.setup
+        nfre_red = self.nfre_red
+        dev = bundle["dev"]
+        fll = pfz.to_lanes(fl1, nfre_red, self.nang)
+        fll = jnp.concatenate(
+            [fll, jnp.zeros((1, self.L), fll.dtype)], axis=0)
+        f_srl = fll[dev["srl_src"]]
+        f_srl = _advect_srl(self, f_srl, bundle)
+        if self.nsub > 1:
+            mlf = setup.ifrelfmax
+            dev_lo = dict(dev, obs=dev["obs"][:, :, :mlf])
+            if "pf" in dev:
+                dev_lo["pf"] = dev["pf"][:, :, :mlf]
+            nsrl = f_srl.shape[0]
+            for _ in range(self.nsub - 1):
+                # k-major lanes: the fast-wave band is the per-angle
+                # frequency prefix, not a contiguous lane prefix
+                f3 = f_srl.reshape(nsrl, self.nang, nfre_red)
+                f_lo = f3[:, :, :mlf].reshape(nsrl, self.nang * mlf)
+                f_lo = pfz.refresh_wraps(f_lo, dev)
+                f_lo = pfz.advect_xla(
+                    f_lo, bundle["cg_srl"][:, :mlf], dev_lo,
+                    bundle["lc_lo"], bundle["cg_land"][:mlf],
+                    nang=self.nang, nfre=mlf, irefra=setup.irefra,
+                    S=self.ft.S, EW=self.ft.EW)
+                f3 = f3.at[:, :, :mlf].set(
+                    f_lo.reshape(nsrl, self.nang, mlf))
+                f_srl = f3.reshape(nsrl, self.L)
+        out = pfz.from_lanes(f_srl[bundle["from_srl_pad"]], nfre_red,
+                             self.nang)
+        if nfre_red < setup.tb.nfre:
+            out = jnp.concatenate([out, fl1[:, nfre_red:]], axis=1)
+        return out
+
+
+def _advect_srl(fp: FusedPropagation, f_srl, bundle, *, with_cfl=False):
+    return pfz.advect_xla(
+        f_srl, bundle["cg_srl"], bundle["dev"], bundle["lc"],
+        bundle["cg_land"], nang=fp.nang, nfre=fp.nfre_red,
+        irefra=fp.setup.irefra, S=fp.ft.S, EW=fp.ft.EW,
+        with_cfl=with_cfl)
+
+
+def _cast_lc(lc, dtype):
+    return {k: (jnp.asarray(v, dtype) if isinstance(v, np.ndarray) else v)
+            for k, v in lc.items()}

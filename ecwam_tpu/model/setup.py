@@ -56,6 +56,9 @@ class ModelSetup:
     #   physics (lax.map), bounding the source-term intermediates
     #   (mchunk.F90:44-45); 0 = whole axis in one chunk.
     phys_chunk: int = 0
+    #   'fused' weights_mode: single-pass weights+stencil kernel tables
+    #   (ops/propagation_fused.py), None otherwise.
+    fused: Any = None
 
 
 def _pad_indices(n_real: int, n_pad: int) -> np.ndarray:
@@ -156,8 +159,17 @@ def build_model(
     n_real = blk.nsea
     n_pad = ((n_real + pad_to - 1) // pad_to) * pad_to
 
-    st = prop.build_stencil(grid, blk, nfre_red, obstructions=obstructions)
-    st = _pad_stencil(st, n_real, n_pad)
+    st_real = prop.build_stencil(grid, blk, nfre_red,
+                                 obstructions=obstructions)
+    fused_tables = None
+    if weights_mode == "fused":
+        from ecwam_tpu.ops import propagation_fused as pfz
+        # segment size scales with the typical row length; small grids
+        # would otherwise drown in row padding
+        seg = 1 << max(4, min(8, int(np.log2(max(16, grid.ngx // 4)))))
+        fused_tables = pfz.build_fused_tables(
+            st_real, blk.kxlt, nfre_red, S=seg, land_index=n_pad)
+    st = _pad_stencil(st_real, n_real, n_pad)
 
     # env: padded depth fields + halo-extended (land slot) variants
     depth = np.empty(n_pad)
@@ -193,7 +205,7 @@ def build_model(
         delpro_lf=delpro_lf or idelpro, ifrelfmax=ifrelfmax,
         irefra=irefra, env=env, dtype=dtype,
         weights_mode=weights_mode, otf_block=otf_block,
-        phys_chunk=phys_chunk)
+        phys_chunk=phys_chunk, fused=fused_tables)
 
 
 def pad_point_field(setup: ModelSetup, values: np.ndarray) -> np.ndarray:

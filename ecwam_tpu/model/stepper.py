@@ -260,6 +260,42 @@ def make_step(setup: ModelSetup):
                  "ucur_ext", "vcur_ext")
     wenv = {k: setup.env[k] for k in wenv_keys if k in setup.env}
 
+    if setup.weights_mode == "fused":
+        from ecwam_tpu.model import fusedstep
+        fp = fusedstep.FusedPropagation(setup)
+
+        @jax.jit
+        def _adv_f(fl1, bundle):
+            with jax.named_scope("propag_fused"):
+                return fp.advect(fl1, bundle)
+
+        @jax.jit
+        def _full_f(fl1, frc, stress, bundle, env):
+            with jax.named_scope("propag_fused"):
+                fl1 = fp.advect(fl1, bundle)
+            with jax.named_scope("physics"):
+                return _chunked_implsch(setup, fl1, env, frc, stress)
+
+        @jax.jit
+        def _phys_f(fl1, frc, stress, env):
+            with jax.named_scope("physics"):
+                return _chunked_implsch(setup, fl1, env, frc, stress)
+
+        def step_full(fl1, frc, stress):
+            return _full_f(fl1, frc, stress, fp.bundle, env)
+
+        def step_adv(fl1):
+            return _adv_f(fl1, fp.bundle)
+
+        def step_phys(fl1, frc, stress):
+            return _phys_f(fl1, frc, stress, env)
+
+        def refresh_currents(uc, vc):
+            fp.refresh(np.asarray(uc), np.asarray(vc))
+
+        return StepBundle(step_full, step_adv, step_phys,
+                          refresh_currents)
+
     if setup.weights_mode == "otf":
         @jax.jit
         def _adv_otf(fl1, st_a, cg_ext, wenv):

@@ -1,0 +1,129 @@
+"""Fused weights+stencil propagation vs the dense CTUW+PROPAGS2 path.
+
+The fused formulation (ops/propagation_fused.py) re-derives the exact
+same update — CTU weights (ctuw.F90:90-745) applied through the gather
+stencil (propags2.F90:49-130) — so on identical f64 inputs the two paths
+must agree to roundoff.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ecwam_tpu.model import setup as setup_mod
+from ecwam_tpu.model import preset, stepper as stepper_mod
+
+
+def _spectrum(ms, seed=0):
+    rng = np.random.default_rng(seed)
+    n = ms.n_pad
+    wswave = 6.0 + 6.0 * rng.random(n)
+    wdwave = rng.random(n) * 2.0 * np.pi
+    return jnp.asarray(preset.mstart(ms.tb, wswave, wdwave), ms.dtype)
+
+
+def _build_pair(**kw):
+    base = dict(grid_name="6.0", nang=12, nfre=25, idelpro=900.0,
+                idelt=900.0, pad_to=64, dtype=jnp.float64)
+    base.update(kw)
+    ms_ref = setup_mod.build_model(weights_mode="cached", **base)
+    ms_fus = setup_mod.build_model(weights_mode="fused", **base)
+    return ms_ref, ms_fus
+
+
+def _compare(ms_ref, ms_fus, nsteps=2, rtol=1e-11):
+    f = _spectrum(ms_ref)
+    ref = stepper_mod.make_step(ms_ref)
+    fus = stepper_mod.make_step(ms_fus)
+    fr, ff = f, f
+    for _ in range(nsteps):
+        fr = ref.step_adv(fr)
+        ff = fus.step_adv(ff)
+    a = np.asarray(fr)[..., : ms_ref.n_real]
+    b = np.asarray(ff)[..., : ms_ref.n_real]
+    np.testing.assert_allclose(b, a, rtol=rtol, atol=1e-14)
+
+
+def test_fused_matches_dense_aqua():
+    _compare(*_build_pair())
+
+
+def test_fused_matches_dense_octahedral():
+    _compare(*_build_pair(grid_name="O24", idelpro=600.0, idelt=600.0))
+
+
+def test_fused_matches_dense_with_land_and_obstructions():
+    # synthetic continents + per-(freq,dir)-ish obstruction factors
+    from ecwam_tpu.core.grid import regular_grid, aqua_bathymetry
+    grid = regular_grid(6.0)
+    bathy = aqua_bathymetry(grid)
+    rng = np.random.default_rng(3)
+    land = rng.random((grid.ngy, grid.ngx)) < 0.18
+    bathy = np.where(land, -999.0, bathy)
+    # shallow patches for variety
+    shoal = rng.random((grid.ngy, grid.ngx)) < 0.2
+    bathy = np.where(shoal & (bathy > 0), 35.0, bathy)
+
+    base = dict(grid="dummy")
+    ms_probe = setup_mod.build_model(
+        grid=grid, bathy=bathy, nang=12, nfre=25, idelpro=900.0,
+        idelt=900.0, pad_to=64, dtype=jnp.float64)
+    nfre = 25
+    n = ms_probe.n_real
+    obslat = 0.5 + 0.5 * rng.random((nfre, n, 2))
+    obslon = 0.5 + 0.5 * rng.random((nfre, n, 2))
+    obscor = 0.5 + 0.5 * rng.random((nfre, n, 4))
+    kw = dict(grid=grid, bathy=bathy, nang=12, nfre=25, idelpro=900.0,
+              idelt=900.0, pad_to=64, dtype=jnp.float64,
+              obstructions=(obslat, obslon, obscor))
+    ms_ref = setup_mod.build_model(weights_mode="cached", **kw)
+    ms_fus = setup_mod.build_model(weights_mode="fused", **kw)
+    _compare(ms_ref, ms_fus)
+
+
+def test_fused_matches_dense_fast_waves():
+    _compare(*_build_pair(idelpro=900.0, delpro_lf=450.0, ifrelfmax=5))
+
+
+def test_fused_matches_dense_depth_refraction():
+    from ecwam_tpu.core.grid import regular_grid
+    grid = regular_grid(6.0)
+    rng = np.random.default_rng(5)
+    bathy = np.full((grid.ngy, grid.ngx), 999.0)
+    for k in range(grid.ngy):
+        bathy[k, grid.nlonrgg[k]:] = -999.0
+    bathy[0] = bathy[-1] = -999.0
+    # smooth-ish depth variation to make ddphi/ddlam nonzero
+    lats = np.linspace(0, np.pi, grid.ngy)[:, None]
+    lons = np.linspace(0, 2 * np.pi, grid.ngx)[None, :]
+    depth = 200.0 + 150.0 * np.sin(3 * lats) * np.cos(2 * lons)
+    bathy = np.where(bathy > 0, depth, bathy)
+    kw = dict(grid=grid, bathy=bathy, nang=12, nfre=25, idelpro=900.0,
+              idelt=900.0, pad_to=64, dtype=jnp.float64, irefra=1)
+    ms_ref = setup_mod.build_model(weights_mode="cached", **kw)
+    ms_fus = setup_mod.build_model(weights_mode="fused", **kw)
+    _compare(ms_ref, ms_fus)
+
+
+def test_fused_matches_dense_current_refraction():
+    from ecwam_tpu.core.grid import regular_grid, aqua_bathymetry
+    grid = regular_grid(6.0)
+    bathy = aqua_bathymetry(grid)
+    ms_probe = setup_mod.build_model(
+        grid=grid, bathy=bathy, nang=12, nfre=25, pad_to=64,
+        dtype=jnp.float64)
+    rng = np.random.default_rng(7)
+    n = ms_probe.n_real
+    uc = 0.4 * (rng.random(n) - 0.5)
+    vc = 0.4 * (rng.random(n) - 0.5)
+    for irefra in (2, 3):
+        kw = dict(grid=grid, bathy=bathy, nang=12, nfre=25,
+                  idelpro=900.0, idelt=900.0, pad_to=64,
+                  dtype=jnp.float64, irefra=irefra, currents=(uc, vc))
+        ms_ref = setup_mod.build_model(weights_mode="cached", **kw)
+        ms_fus = setup_mod.build_model(weights_mode="fused", **kw)
+        _compare(ms_ref, ms_fus, rtol=1e-10)
+
+
+def test_fused_matches_dense_nfre_red():
+    _compare(*_build_pair(nfre=25, nfre_red=20))
