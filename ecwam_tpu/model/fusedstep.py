@@ -27,10 +27,23 @@ def _np_env(setup, key):
     return np.asarray(setup.env[key], np.float64)
 
 
+def default_backend(dtype) -> str:
+    """'pallas' on real TPU devices for f32, else 'xla'."""
+    import jax
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return "xla"
+    if plat in ("tpu", "axon") and dtype == jnp.float32:
+        return "pallas"
+    return "xla"
+
+
 class FusedPropagation:
     """Static config + refreshable device ``bundle`` for the fused step."""
 
-    def __init__(self, setup):
+    def __init__(self, setup, backend: str | None = None,
+                 interpret: bool = False):
         ft = setup.fused
         if ft is None:
             raise ValueError("setup was not built with weights_mode='fused'")
@@ -41,7 +54,8 @@ class FusedPropagation:
         self.nfre_red = tb.nfre_red
         self.L = self.nang * self.nfre_red
         dt = self.dtype = setup.dtype
-        self.backend = "xla"
+        self.backend = backend or default_backend(dt)
+        self.interpret = interpret
 
         dev = pfz.device_tables(ft, dt)
         fs = np.asarray(ft.from_srl)
@@ -74,6 +88,27 @@ class FusedPropagation:
 
         self.bundle = dict(dev=dev, cg_srl=cg_srl, cg_land=cg_land,
                            lc=lc, lc_lo=lc_lo, from_srl_pad=from_srl_pad)
+        if self.backend == "pallas":
+            from ecwam_tpu.ops import propagation_pallas as pk
+            nblocks = ft.nsrl // ft.S
+            dnf = np.zeros(nblocks, np.int32)
+            upf = np.zeros(nblocks, np.int32)
+            dnf[1:1 + ft.nseg] = np.asarray(ft.dn_base)
+            upf[1:1 + ft.nseg] = np.asarray(ft.up_base)
+            def cgp(cgl, nf):
+                z = np.zeros((8, nf))
+                z[0] = np.asarray(cgl)
+                return jnp.asarray(z, dt)
+            pkx = dict(dn_full=jnp.asarray(dnf), up_full=jnp.asarray(upf),
+                       lc_pack=pk._lc_pack(lc, self.L, dt),
+                       cgland_pack=cgp(cg_land, self.nfre_red))
+            if self.nsub > 1:
+                pkx["lc_pack_lo"] = pk._lc_pack(
+                    lc_lo, setup.ifrelfmax * self.nang, dt)
+                pkx["cgland_pack_lo"] = cgp(
+                    np.asarray(cg_land)[: setup.ifrelfmax],
+                    setup.ifrelfmax)
+            self.bundle["pk"] = pkx
         self.refresh()
 
     # -- LUPDTWGHT / GETCURR ------------------------------------------
@@ -154,11 +189,23 @@ class FusedPropagation:
                 f3 = f_srl.reshape(nsrl, self.nang, nfre_red)
                 f_lo = f3[:, :, :mlf].reshape(nsrl, self.nang * mlf)
                 f_lo = pfz.refresh_wraps(f_lo, dev)
-                f_lo = pfz.advect_xla(
-                    f_lo, bundle["cg_srl"][:, :mlf], dev_lo,
-                    bundle["lc_lo"], bundle["cg_land"][:mlf],
-                    nang=self.nang, nfre=mlf, irefra=setup.irefra,
-                    S=self.ft.S, EW=self.ft.EW)
+                if self.backend == "pallas":
+                    from ecwam_tpu.ops import propagation_pallas as pk
+                    pkx = bundle["pk"]
+                    f_lo = pk.advect_pallas(
+                        f_lo, bundle["cg_srl"][:, :mlf], dev_lo,
+                        pkx["lc_pack_lo"], pkx["cgland_pack_lo"],
+                        pkx["dn_full"], pkx["up_full"],
+                        nang=self.nang, nfre=mlf, irefra=setup.irefra,
+                        S=self.ft.S, EW=self.ft.EW,
+                        fratio=bundle["lc"]["fratio"],
+                        interpret=self.interpret)
+                else:
+                    f_lo = pfz.advect_xla(
+                        f_lo, bundle["cg_srl"][:, :mlf], dev_lo,
+                        bundle["lc_lo"], bundle["cg_land"][:mlf],
+                        nang=self.nang, nfre=mlf, irefra=setup.irefra,
+                        S=self.ft.S, EW=self.ft.EW)
                 f3 = f3.at[:, :, :mlf].set(
                     f_lo.reshape(nsrl, self.nang, mlf))
                 f_srl = f3.reshape(nsrl, self.L)
@@ -170,6 +217,15 @@ class FusedPropagation:
 
 
 def _advect_srl(fp: FusedPropagation, f_srl, bundle, *, with_cfl=False):
+    if fp.backend == "pallas" and not with_cfl:
+        from ecwam_tpu.ops import propagation_pallas as pk
+        pkx = bundle["pk"]
+        return pk.advect_pallas(
+            f_srl, bundle["cg_srl"], bundle["dev"], pkx["lc_pack"],
+            pkx["cgland_pack"], pkx["dn_full"], pkx["up_full"],
+            nang=fp.nang, nfre=fp.nfre_red, irefra=fp.setup.irefra,
+            S=fp.ft.S, EW=fp.ft.EW, fratio=bundle["lc"]["fratio"],
+            interpret=fp.interpret)
     return pfz.advect_xla(
         f_srl, bundle["cg_srl"], bundle["dev"], bundle["lc"],
         bundle["cg_land"], nang=fp.nang, nfre=fp.nfre_red,
