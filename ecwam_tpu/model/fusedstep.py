@@ -63,17 +63,13 @@ class FusedPropagation:
                       fs.dtype)
         from_srl_pad = jnp.asarray(np.concatenate([fs, pad]), jnp.int32)
 
-        src = np.asarray(ft.srl_src)
-        cg_ext_t = _np_env(setup, "cgroup_ext").T        # (n_pad+1, nfre)
-        cg_srl = jnp.asarray(cg_ext_t[src][:, :self.nfre_red], dt)
-        cg_land = jnp.asarray(cg_ext_t[-1, :self.nfre_red], dt)
-
+        fe = setup.fused_env
+        if fe is None:
+            raise ValueError("setup lacks fused_env statics")
+        cg_srl = jnp.asarray(fe["cg_srl"], dt)
+        cg_land = jnp.asarray(fe["cg_land"], dt)
         if setup.irefra:
-            omos_t = _np_env(setup, "omosnh2kd_ext").T
-            wav_t = _np_env(setup, "wavnum_ext").T
-            pf = np.stack([omos_t, cg_ext_t * wav_t, omos_t * wav_t],
-                          axis=1)
-            dev["pf"] = jnp.asarray(pf[src][:, :, :self.nfre_red], dt)
+            dev["pf"] = jnp.asarray(fe["pf"], dt)
 
         dtf = np.full(self.nfre_red, setup.idelpro)
         if setup.ifrelfmax > 0:
@@ -134,7 +130,8 @@ class FusedPropagation:
         if setup.irefra:
             zeros = np.zeros(setup.n_pad + 1)
             g = {k: np.asarray(v, np.float64) for k, v in prop.gradi(
-                setup.stencil, _np_env(setup, "depth_ext"),
+                setup.stencil,
+                np.asarray(setup.fused_env["depth_ext"], np.float64),
                 u_ext if u_ext is not None else zeros,
                 v_ext if v_ext is not None else zeros,
                 setup.irefra).items()}

@@ -57,8 +57,10 @@ class ModelSetup:
     #   (mchunk.F90:44-45); 0 = whole axis in one chunk.
     phys_chunk: int = 0
     #   'fused' weights_mode: single-pass weights+stencil kernel tables
-    #   (ops/propagation_fused.py), None otherwise.
+    #   (ops/propagation_fused.py) + host-side SRL env statics, None
+    #   otherwise.
     fused: Any = None
+    fused_env: Any = None
 
 
 def _pad_indices(n_real: int, n_pad: int) -> np.ndarray:
@@ -177,6 +179,24 @@ def build_model(
     depth[n_real:] = blk.depth[0]
     depth_ext = np.concatenate([depth, [dispersion.BATHYMAX]])
     props_ext = dispersion.depth_properties(depth_ext, tb.fr)
+
+    fused_env = None
+    if fused_tables is not None:
+        # host-side SRL statics for the fused step (avoids pulling the
+        # device env back through the accelerator relay at init)
+        src = np.asarray(fused_tables.srl_src)
+        cg = props_ext["cgroup"]                 # (n_pad+1, nfre)
+        fused_env = {
+            "cg_srl": cg[src][:, :nfre_red],
+            "cg_land": cg[-1, :nfre_red],
+            "depth_ext": depth_ext,
+        }
+        if irefra:
+            omos = props_ext["omosnh2kd"]
+            wav = props_ext["wavnum"]
+            pf = np.stack([omos, cg * wav, omos * wav], axis=1)
+            fused_env["pf"] = pf[src][:, :, :nfre_red]
+
     env = {k: jnp.asarray(v.T[:, :n_pad], dtype)
            for k, v in props_ext.items()}
     env.update({f"{k}_ext": jnp.asarray(v.T, dtype)
@@ -205,7 +225,7 @@ def build_model(
         delpro_lf=delpro_lf or idelpro, ifrelfmax=ifrelfmax,
         irefra=irefra, env=env, dtype=dtype,
         weights_mode=weights_mode, otf_block=otf_block,
-        phys_chunk=phys_chunk, fused=fused_tables)
+        phys_chunk=phys_chunk, fused=fused_tables, fused_env=fused_env)
 
 
 def pad_point_field(setup: ModelSetup, values: np.ndarray) -> np.ndarray:
