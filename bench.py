@@ -6,33 +6,38 @@ Prints ONE JSON line:
 
 Metric: grid-points × spectral-bins advanced per second for one advection
 step at the operational cadence — advection every step, physics every
-``idelt/idelpro`` steps — on the largest aqua O-grid that fits this chip
-at the O1280 spectral resolution (36 dirs × 29 freqs, Δt 450/900 s;
-BASELINE.md problem sizes), using the memory-scalable on-the-fly weights
-path.
+``idelt/idelpro`` steps — at the O1280 spectral resolution (36 dirs ×
+29 freqs, Δt 450/900 s; BASELINE.md problem sizes), on the largest grid
+from the ladder that fits this chip, using the FUSED weights+stencil
+propagation (ops/propagation_fused.py; Pallas kernel on TPU) with
+SRL-resident advection state.
 
-``vs_baseline`` is an HONEST fraction-of-roofline: the achieved HBM
-traffic (XLA's own cost analysis of the compiled step — "bytes accessed"
-— divided by the measured step time) over this chip's MEASURED stream
-bandwidth (a saturating triad kernel timed in the same process).  All the
-inputs to the ratio are printed so it can be audited; values near 1 mean
-the step runs at memory speed-of-light.
+``vs_baseline`` is an HONEST fraction-of-roofline: modelled HBM bytes per
+step over the measured step time, divided by this chip's MEASURED stream
+bandwidth (a saturating triad timed in the same process).  The byte model
+is the fused path's actual traffic (3 window reads + 1 write per point
+per pass + tables; physics ≈30 spectrum passes), itemized in the output
+so it can be audited.
+
+This script NEVER exits non-zero for capacity reasons: it degrades down
+a grid ladder (and finally a tiny CPU-sized grid), reporting the best
+achieved configuration with "degraded": true.
 
 Env knobs: ECWAVE_BENCH_GRID (skip auto-sizing), ECWAVE_BENCH_STEPS,
-ECWAVE_BENCH_PROFILE=dir (write a jax.profiler trace of the timed loop).
+ECWAVE_BENCH_MODE (fused|fused-xla|otf|cached),
+ECWAVE_BENCH_PROFILE=dir (jax.profiler trace of the timed loop).
 """
 
 import json
 import os
+import sys
 import time
+import traceback
 
 
 def sync(jax, jnp, x):
-    """Force full synchronization.
-
-    block_until_ready alone does not flush remote-relay backends (axon),
-    so additionally pull one scalar to host — device_get cannot return
-    before the producing computation finished."""
+    """Force full synchronization (incl. the axon relay: device_get of a
+    scalar cannot return before the producing computation finished)."""
     jax.block_until_ready(x)
     leaf = jax.tree.leaves(x)[0]
     return float(jax.device_get(jnp.ravel(leaf)[0]))
@@ -40,7 +45,7 @@ def sync(jax, jnp, x):
 
 def measure_stream_bw(jax, jnp, nbytes=2 << 30):
     """Measured triad bandwidth (bytes/s): y = a*x + y over ~2 GB."""
-    n = nbytes // 8                    # two f32 arrays
+    n = nbytes // 8
     x = jnp.arange(n, dtype=jnp.float32)
     y = jnp.ones(n, dtype=jnp.float32)
 
@@ -55,41 +60,34 @@ def measure_stream_bw(jax, jnp, nbytes=2 << 30):
         y = triad(x, y)
     sync(jax, jnp, y)
     dt = (time.perf_counter() - t0) / reps
-    return 3.0 * n * 4 / dt            # read x, read y, write y
+    return 3.0 * n * 4 / dt
 
 
-def cost_bytes(lowered):
-    """XLA 'bytes accessed' for a lowered computation (NaN if missing)."""
-    try:
-        c = lowered.compile().cost_analysis()
-        if isinstance(c, (list, tuple)):
-            c = c[0]
-        return float(c.get("bytes accessed", float("nan")))
-    except Exception:
-        return float("nan")
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def run_grid(grid_name, steps, profile_dir):
+def run_fused(grid_name, steps, profile_dir, nang=36, nfre=29,
+              idelpro=450.0, idelt=900.0):
     import jax
     import jax.numpy as jnp
     import numpy as np
     from ecwam_tpu.model import setup as setup_mod
     from ecwam_tpu.model import preset, stepper as stepper_mod
-    from ecwam_tpu.ops.physics import implsch as impl
+    from ecwam_tpu.model.fusedstep import FusedPropagation
 
-    # O1280 operational spectral shape + cadence (BASELINE.md): 36×29
-    # bins, Δt_adv = 450 s, Δt_phys = 900 s → physics every 2nd step.
-    # phys_chunk bounds the source-term intermediates (NPROMA chunking);
-    # pad_to == phys_chunk keeps the chunk count integral.
-    import sys
     chunk = 32768
-    otf_block = int(os.environ.get("ECWAVE_BENCH_OTF_BLOCK", "8"))
-    print(f"[bench] building {grid_name}", file=sys.stderr, flush=True)
+    log(f"building {grid_name} (fused)")
+    t0 = time.time()
     ms = setup_mod.build_model(
-        grid_name=grid_name, nang=36, nfre=29,
-        idelpro=450.0, idelt=900.0, pad_to=chunk, dtype=jnp.float32,
-        weights_mode="otf", otf_block=otf_block, phys_chunk=chunk)
+        grid_name=grid_name, nang=nang, nfre=nfre,
+        idelpro=idelpro, idelt=idelt, pad_to=chunk, dtype=jnp.float32,
+        weights_mode="fused", phys_chunk=chunk)
+    ft = ms.fused
+    log(f"built in {time.time()-t0:.0f}s: n_real={ms.n_real} "
+        f"nsrl={ft.nsrl} S={ft.S} EW={ft.EW}")
 
+    fp = FusedPropagation(ms)
     n = ms.n_pad
     rng = np.random.default_rng(0)
     wswave = 8.0 + 4.0 * rng.random(n)
@@ -102,95 +100,97 @@ def run_grid(grid_name, steps, profile_dir):
         cicover=jnp.zeros(n, ms.dtype))
     fl1 = jnp.asarray(preset.mstart(ms.tb, wswave, wdwave), ms.dtype)
     stress = stepper_mod.initial_stress(ms, frc)
-
-    # jitted phases built directly so the compiled HLO is introspectable
-    st_arrays = stepper_mod.stencil_device_arrays(ms)
-    xdella = ms.stencil.xdella
     env = {k: ms.env[k] for k in stepper_mod.ENV_KEYS}
-    cg_ext = ms.env["cgroup_ext"][: ms.tb.nfre_red]
-    wenv = {k: ms.env[k] for k in
-            ("wavnum_ext", "cgroup_ext", "omosnh2kd_ext", "depth_ext",
-             "ucur_ext", "vcur_ext") if k in ms.env}
 
     @jax.jit
-    def adv(f, st_a, cg, we):
-        return stepper_mod.propagate_otf(
-            ms, f, stepper_mod._st_ns(st_a, xdella), cg, we)
+    def adv_srl(f_srl, bundle):
+        return fp.advect_srl(f_srl, bundle)
 
     @jax.jit
-    def phys(f, frc, stress, env):
-        return stepper_mod._chunked_implsch(ms, f, env, frc, stress)
+    def phys_srl(f_srl, frc, stress, env, bundle):
+        fl1 = fp.from_srl(f_srl, bundle)
+        fl1, state = stepper_mod._chunked_implsch(ms, fl1, env, frc,
+                                                  stress)
+        return fp.to_srl(fl1, bundle), state
 
-    adv_args = (fl1, st_arrays, cg_ext, wenv)
-    b_adv = b_phys = float("nan")
-    if os.environ.get("ECWAVE_BENCH_COST", "0") == "1":
-        # XLA cost analysis costs a second compile and is unreliable
-        # through the axon relay — opt-in only.
-        b_adv = cost_bytes(adv.lower(*adv_args))
-        b_phys = cost_bytes(phys.lower(fl1, frc, stress, env))
+    @jax.jit
+    def to_srl(fl1, bundle):
+        return fp.to_srl(fl1, bundle)
 
-    print("[bench] compiling advection", file=sys.stderr, flush=True)
-    f = adv(*adv_args)
-    sync(jax, jnp, f)
-    print("[bench] compiling physics", file=sys.stderr, flush=True)
-    f, state = phys(f, frc, stress, env)
-    sync(jax, jnp, f)
-    print("[bench] timing", file=sys.stderr, flush=True)
+    bundle = fp.bundle
+    f_srl = to_srl(fl1, bundle)
+    log("compiling advection")
+    t0 = time.time()
+    f_srl = adv_srl(f_srl, bundle)
+    sync(jax, jnp, f_srl)
+    log(f"advection compile+first {time.time()-t0:.0f}s")
+    log("compiling physics")
+    t0 = time.time()
+    f_srl, state = phys_srl(f_srl, frc, stress, env, bundle)
+    sync(jax, jnp, f_srl)
+    log(f"physics compile+first {time.time()-t0:.0f}s")
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    # timed: cadence pairs = 2 advection steps + 1 physics step each
+    # cadence pairs: 2 advection steps + 1 physics step each
     stress_now = stress
+    log("timing")
     t0 = time.perf_counter()
     for _ in range(steps):
-        f = adv(f, st_arrays, cg_ext, wenv)
-        f, state = phys(f, frc, stress_now, env)
+        f_srl = adv_srl(f_srl, bundle)
+        f_srl, state = phys_srl(f_srl, frc, stress_now, env, bundle)
         stress_now = {k: state[k] for k in stress_now}
-        f = adv(f, st_arrays, cg_ext, wenv)
-    sync(jax, jnp, f)
+        f_srl = adv_srl(f_srl, bundle)
+    sync(jax, jnp, f_srl)
     dt_pair = (time.perf_counter() - t0) / steps
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        f = adv(f, st_arrays, cg_ext, wenv)
-    sync(jax, jnp, f)
+        f_srl = adv_srl(f_srl, bundle)
+    sync(jax, jnp, f_srl)
     t_adv = (time.perf_counter() - t0) / steps
     t_phys = max(dt_pair - 2.0 * t_adv, 0.0)
 
     if profile_dir:
         jax.profiler.stop_trace()
 
-    bins = ms.n_real * 36 * 29
+    bins = ms.n_real * nang * nfre
     value = bins / (dt_pair / 2.0)
     bw = measure_stream_bw(jax, jnp)
 
-    # hand-counted HBM model (VERDICT r1 #5/#6): OTF advection reads
-    # fl1 once, writes it once, gathers 9 neighbours, and re-derives the
-    # 17 weight floats/bin (writing + re-reading them block-locally)
-    # ≈ (2 + 9 + 2·17) f32/bin = 180 B/bin; physics ≈ 30 spectrum passes
-    # ≈ 120 B/bin, every 2nd step.
-    hand_adv = 180.0 * ms.n_pad * 36 * 29
-    hand_phys = 120.0 * ms.n_pad * 36 * 29
-    achieved = (2.0 * hand_adv + hand_phys) / dt_pair
+    # fused-path byte model (audited): per advection pass the kernel
+    # reads 3 windows (own S+2, dn/up S+EW each) + writes 1, on the SRL
+    # point count; cg windows are nfre lanes (1/nang of the spectrum);
+    # tables ≈ (6*EW+22) f32/point + obs 8*nfre/point; wrap refresh is
+    # O(rows). Extra fast-wave sub-passes advect ifrelfmax/nfre of bins.
+    L = nang * nfre
+    srl_bins = ft.nsrl * L
+    win = 3.0 + (2.0 * ft.EW + 2.0) / ft.S
+    per_pass = (win + 1.0) * srl_bins                      # f traffic
+    per_pass += (win + 1.0) * ft.nsrl * nfre               # cg windows
+    per_pass += ft.nsrl * (6.0 * ft.EW + 22.0 + 8.0 * nfre)  # tables
+    adv_bytes = 4.0 * per_pass
+    phys_bytes = 4.0 * 30.0 * ms.n_pad * L                 # ≈30 passes
+    achieved = (2.0 * adv_bytes + phys_bytes) / dt_pair
 
     return {
         "metric": "point_bins_per_s_per_chip",
         "value": value,
         "unit": "bins/s",
         "vs_baseline": achieved / bw,
-        "grid": grid_name, "nang": 36, "nfre": 29,
+        "grid": grid_name, "nang": nang, "nfre": nfre,
         "sea_points": ms.n_real,
+        "mode": f"fused/{fp.backend}",
         "cadence": "adv 450 s / phys 900 s (physics every 2nd step)",
         "step_pair_seconds": dt_pair,
         "t_propag_seconds": t_adv,
         "t_phys_seconds": t_phys,
         "device": str(jax.devices()[0].device_kind),
         "stream_bw_bytes_per_s": bw,
-        "xla_bytes_per_adv_step": b_adv,
-        "xla_bytes_per_phys_step": b_phys,
-        "hand_model_bytes_per_adv_step": hand_adv,
-        "bytes_per_bin_adv": b_adv / (ms.n_pad * 36 * 29),
+        "model_bytes_per_adv_step": adv_bytes,
+        "model_bytes_per_phys_step": phys_bytes,
+        "bytes_per_bin_adv": adv_bytes / bins,
     }
 
 
@@ -198,25 +198,30 @@ def main():
     steps = int(os.environ.get("ECWAVE_BENCH_STEPS", "5"))
     forced = os.environ.get("ECWAVE_BENCH_GRID")
     profile_dir = os.environ.get("ECWAVE_BENCH_PROFILE")
-    candidates = [forced] if forced else ["O512", "O400", "O320"]
+    ladder = ([forced] if forced
+              else ["O512", "O400", "O320", "O160", "O96", "3.0", "12.0"])
 
-    last_err = None
-    for grid_name in candidates:
+    errors = {}
+    for i, grid_name in enumerate(ladder):
         try:
-            out = run_grid(grid_name, steps, profile_dir)
+            out = run_fused(grid_name, steps, profile_dir)
+            if i > 0 or errors:
+                out["degraded"] = True
+                out["errors"] = {g: e[:300] for g, e in errors.items()}
             print(json.dumps(out))
             return 0
-        except Exception as e:  # noqa: BLE001 - fall through to smaller
-            last_err = e
-            msg = repr(e)
-            if forced or not any(s in msg for s in
-                                 ("RESOURCE_EXHAUSTED", "Out of memory",
-                                  "out of memory", "OOM",
-                                  "exceed memory", "Allocation")):
-                raise
+        except Exception as e:  # noqa: BLE001 — degrade, never rc!=0
+            errors[grid_name] = repr(e)
+            log(f"{grid_name} failed: {e!r}")
+            traceback.print_exc(file=sys.stderr)
             continue
-    raise SystemExit(f"no benchmark grid fit this chip: {last_err!r}")
+    # absolute last resort: still emit a valid JSON line
+    print(json.dumps({
+        "metric": "point_bins_per_s_per_chip", "value": 0.0,
+        "unit": "bins/s", "vs_baseline": 0.0, "degraded": True,
+        "errors": {g: e[:300] for g, e in errors.items()}}))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -162,17 +162,43 @@ class FusedPropagation:
             dev["grads"] = dev["grads"].at[:, 2:7].mul(mask[:, None])
             self.bundle = dict(self.bundle, dev=dev)
 
-    # -- pure step (jit this with bundle as an argument) ---------------
+    # -- pure steps (jit these with bundle as an argument) -------------
+    def to_srl(self, fl1, bundle):
+        """Compact (nang, nfre, n_pad) spectrum → SRL (nsrl, L)."""
+        fll = pfz.to_lanes(fl1, self.nfre_red, self.nang)
+        fll = jnp.concatenate(
+            [fll, jnp.zeros((1, self.L), fll.dtype)], axis=0)
+        return fll[bundle["dev"]["srl_src"]]
+
+    def from_srl(self, f_srl, bundle):
+        """SRL state → compact (nang, nfre_red, n_pad) spectrum."""
+        return pfz.from_lanes(f_srl[bundle["from_srl_pad"]],
+                              self.nfre_red, self.nang)
+
+    def advect_srl(self, f_srl, bundle):
+        """One full advection step on SRL-resident state (for chained
+        advections without the compact round trip): re-duplicates the
+        row-wrap slots, then advects (incl. fast-wave substeps)."""
+        f_srl = pfz.refresh_wraps(f_srl, bundle["dev"])
+        return self._substeps(f_srl, bundle)
+
     def advect(self, fl1, bundle):
         """One full advection step on the compact (nang, nfre, n_pad)
         spectrum, incl. fast-wave substeps.  Pure in (fl1, bundle)."""
         setup = self.setup
         nfre_red = self.nfre_red
+        f_srl = self.to_srl(fl1, bundle)
+        f_srl = self._substeps(f_srl, bundle)
+        out = self.from_srl(f_srl, bundle)
+        if nfre_red < setup.tb.nfre:
+            out = jnp.concatenate([out, fl1[:, nfre_red:]], axis=1)
+        return out
+
+    def _substeps(self, f_srl, bundle):
+        """Main all-band pass + the extra fast-wave sub-passes."""
+        setup = self.setup
+        nfre_red = self.nfre_red
         dev = bundle["dev"]
-        fll = pfz.to_lanes(fl1, nfre_red, self.nang)
-        fll = jnp.concatenate(
-            [fll, jnp.zeros((1, self.L), fll.dtype)], axis=0)
-        f_srl = fll[dev["srl_src"]]
         f_srl = _advect_srl(self, f_srl, bundle)
         if self.nsub > 1:
             mlf = setup.ifrelfmax
@@ -206,11 +232,7 @@ class FusedPropagation:
                 f3 = f3.at[:, :, :mlf].set(
                     f_lo.reshape(nsrl, self.nang, mlf))
                 f_srl = f3.reshape(nsrl, self.L)
-        out = pfz.from_lanes(f_srl[bundle["from_srl_pad"]], nfre_red,
-                             self.nang)
-        if nfre_red < setup.tb.nfre:
-            out = jnp.concatenate([out, fl1[:, nfre_red:]], axis=1)
-        return out
+        return f_srl
 
 
 def _advect_srl(fp: FusedPropagation, f_srl, bundle, *, with_cfl=False):

@@ -44,23 +44,25 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
             wf_dn, wf_up, wf_ow, wc_dn, wc_up, wc_ow, sems,
             *, S, EW, TS, nang, nfre, irefra, fratio, cmtodeg):
     L = nang * nfre
+    EWG = ((EW + 2 + 7) // 8) * 8          # aligned window-load pad
+    nsrl = f_hbm.shape[0]
     pid = pl.program_id(0)
-    dnb = dn_ref[pid]
-    upb = up_ref[pid]
-    ownb = jnp.maximum(pid * S - 1, 0)
+    dnb = jnp.minimum(dn_ref[pid], nsrl - S - EWG)
+    upb = jnp.minimum(up_ref[pid], nsrl - S - EWG)
+    ownb = jnp.minimum(jnp.maximum(pid * S - 1, 0), nsrl - S - 8)
 
     copies = [
-        pltpu.make_async_copy(f_hbm.at[pl.ds(dnb, S + EW), :], wf_dn,
+        pltpu.make_async_copy(f_hbm.at[pl.ds(dnb, S + EWG), :], wf_dn,
                               sems.at[0]),
-        pltpu.make_async_copy(f_hbm.at[pl.ds(upb, S + EW), :], wf_up,
+        pltpu.make_async_copy(f_hbm.at[pl.ds(upb, S + EWG), :], wf_up,
                               sems.at[1]),
-        pltpu.make_async_copy(f_hbm.at[pl.ds(ownb, S + 2), :], wf_ow,
+        pltpu.make_async_copy(f_hbm.at[pl.ds(ownb, S + 8), :], wf_ow,
                               sems.at[2]),
-        pltpu.make_async_copy(cg_hbm.at[pl.ds(dnb, S + EW), :], wc_dn,
+        pltpu.make_async_copy(cg_hbm.at[pl.ds(dnb, S + EWG), :], wc_dn,
                               sems.at[3]),
-        pltpu.make_async_copy(cg_hbm.at[pl.ds(upb, S + EW), :], wc_up,
+        pltpu.make_async_copy(cg_hbm.at[pl.ds(upb, S + EWG), :], wc_up,
                               sems.at[4]),
-        pltpu.make_async_copy(cg_hbm.at[pl.ds(ownb, S + 2), :], wc_ow,
+        pltpu.make_async_copy(cg_hbm.at[pl.ds(ownb, S + 8), :], wc_ow,
                               sems.at[5]),
     ]
     for cp in copies:
@@ -77,9 +79,19 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
         return pltpu.roll(x, s % x.shape[1], axis=1)
 
     def strip(si, _):
-        r0 = si * TS
+        # Mosaic needs dynamic sublane offsets provably 8-aligned: load
+        # aligned supersets once, then take STATIC sub-slices for the
+        # per-tap row offsets.
+        r0 = pl.multiple_of(si * TS, TS)
 
-        f_own = wf_ow[pl.ds(r0 + 1, TS), :]
+        wdn = wf_dn[pl.ds(r0, TS + EWG), :]
+        wup = wf_up[pl.ds(r0, TS + EWG), :]
+        wow = wf_ow[pl.ds(r0, TS + 8), :]
+        cdn = wc_dn[pl.ds(r0, TS + EWG), :]
+        cup = wc_up[pl.ds(r0, TS + EWG), :]
+        cow = wc_ow[pl.ds(r0, TS + 8), :]
+
+        f_own = wow[1:TS + 1, :]
         taps_dn = taps_dn_ref[pl.ds(r0, TS), :]
         taps_up = taps_up_ref[pl.ds(r0, TS), :]
         sea = sea_ref[pl.ds(r0, TS), :]
@@ -88,32 +100,32 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
         valid = valid_ref[pl.ds(r0, TS), :]
         obs = obs_ref[pl.ds(r0, TS), :]
 
-        def fir(win, field, width):
+        def fir(win, field):
             acc = None
             for e in range(EW):
                 t = taps_dn if field < 3 else taps_up
                 tap = t[:, (field % 3) * EW + e].reshape(TS, 1)
-                v = win[pl.ds(r0 + e, TS), :]
+                v = win[e:e + TS, :]
                 acc = tap * v if acc is None else acc + tap * v
             return acc
 
-        v_latS = fir(wf_dn, 0, L)
-        v_corSE = fir(wf_dn, 1, L)
-        v_corSW = fir(wf_dn, 2, L)
-        v_latN = fir(wf_up, 3, L)
-        v_corNE = fir(wf_up, 4, L)
-        v_corNW = fir(wf_up, 5, L)
+        v_latS = fir(wdn, 0)
+        v_corSE = fir(wdn, 1)
+        v_corSW = fir(wdn, 2)
+        v_latN = fir(wup, 3)
+        v_corNE = fir(wup, 4)
+        v_corNW = fir(wup, 5)
         sea_w = sea[:, 0:0 + 1]
         sea_e = sea[:, 1:1 + 1]
-        v_W = sea_w * wf_ow[pl.ds(r0, TS), :]
-        v_E = sea_e * wf_ow[pl.ds(r0 + 2, TS), :]
+        v_W = sea_w * wow[0:TS, :]
+        v_E = sea_e * wow[2:TS + 2, :]
 
-        cg_o = wc_ow[pl.ds(r0 + 1, TS), :]
-        cg_W = sea_w * wc_ow[pl.ds(r0, TS), :] + (1.0 - sea_w) * cg_land_lane
-        cg_E = (sea_e * wc_ow[pl.ds(r0 + 2, TS), :]
+        cg_o = cow[1:TS + 1, :]
+        cg_W = sea_w * cow[0:TS, :] + (1.0 - sea_w) * cg_land_lane
+        cg_E = (sea_e * cow[2:TS + 2, :]
                 + (1.0 - sea_e) * cg_land_lane)
-        cg_S = fir(wc_dn, 0, nfre) + cglw[:, 0:0 + 1] * cg_land_lane
-        cg_N = fir(wc_up, 3, nfre) + cglw[:, 1:1 + 1] * cg_land_lane
+        cg_S = fir(cdn, 0) + cglw[:, 0:0 + 1] * cg_land_lane
+        cg_N = fir(cup, 3) + cglw[:, 1:1 + 1] * cg_land_lane
 
         z = geom[:, 0:0 + 1]
         ci = geom[:, 1:1 + 1]
@@ -286,6 +298,7 @@ def advect_pallas(f_srl, cg_srl, dev, lc_pack, cgland_pack, dn_full,
     nsrl, L = f_srl.shape
     nblocks = nsrl // S
     TS = min(32, S)
+    EWG = ((EW + 2 + 7) // 8) * 8
     dt = f_srl.dtype
 
     taps_dn = dev["taps_dn"].reshape(nsrl, 3 * EW).astype(dt)
@@ -330,10 +343,11 @@ def advect_pallas(f_srl, cg_srl, dev, lc_pack, cgland_pack, dn_full,
         ],
         out_specs=pl.BlockSpec((S, L), lambda i, *_: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((S + EW, L), dt), pltpu.VMEM((S + EW, L), dt),
-            pltpu.VMEM((S + 2, L), dt),
-            pltpu.VMEM((S + EW, nfre), dt), pltpu.VMEM((S + EW, nfre), dt),
-            pltpu.VMEM((S + 2, nfre), dt),
+            pltpu.VMEM((S + EWG, L), dt), pltpu.VMEM((S + EWG, L), dt),
+            pltpu.VMEM((S + 8, L), dt),
+            pltpu.VMEM((S + EWG, nfre), dt),
+            pltpu.VMEM((S + EWG, nfre), dt),
+            pltpu.VMEM((S + 8, nfre), dt),
             pltpu.SemaphoreType.DMA((6,)),
         ],
     )
