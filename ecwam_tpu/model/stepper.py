@@ -380,13 +380,27 @@ def make_step(setup: ModelSetup):
 
 
 def initial_stress(setup: ModelSetup, frc):
-    """First-guess stress state before the first physics call
-    (the role of BUILDSTRESS when no LAW restart exists)."""
+    """First-guess stress state before the first physics call: the
+    BUILDSTRESS no-restart path (buildstress.F90:236-242) — CDUSTARZ0's
+    Hersbach-2011 CD(U10) (cdustarz0.F90:68-72) with TAUW = 0.1·u*² and
+    TAUWDIR = the wind direction."""
+    from ecwam_tpu.core import constants as c
+    from ecwam_tpu.core import physparams as pp
+
     dt = setup.dtype
-    u10 = frc["wswave"]
-    cd = jnp.minimum(8.0e-4 + 8.0e-5 * u10, 0.0025)
-    ustar = u10 * jnp.sqrt(cd)
-    z0 = jnp.maximum(0.0065 / 9.806 * ustar**2, 1.0e-6).astype(dt)
-    zeros = jnp.zeros_like(u10)
-    return dict(ufric=ustar.astype(dt), tauw=zeros, tauwdir=zeros,
-                z0m=z0, z0b=zeros, chrnck=jnp.full_like(u10, 0.018))
+    wspmin = 1.0                       # userin.F90:917 default
+    u10 = jnp.maximum(frc["wswave"], wspmin)
+    cd = jnp.minimum((c.C1CD + c.C2CD * u10**c.P1CD) * u10**c.P2CD,
+                     c.CDMAX)
+    ustar = jnp.maximum(jnp.sqrt(cd) * u10, c.EPSUS)
+    z0 = jnp.maximum(
+        pp.XNLEV / (jnp.exp(pp.XKAPPA
+                            * jnp.minimum(u10 / ustar, 100.0)) - 1.0),
+        1.0e-6)
+    alphaog = setup.phys.params.alpha / c.G
+    return dict(ufric=ustar.astype(dt),
+                tauw=(0.1 * ustar**2).astype(dt),
+                tauwdir=jnp.asarray(frc["wdwave"], dt),
+                z0m=z0.astype(dt), z0b=jnp.zeros_like(u10).astype(dt),
+                chrnck=jnp.maximum(c.G * z0 / ustar**2,
+                                   setup.phys.params.alpha).astype(dt))
