@@ -87,7 +87,10 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=29,
     log(f"built in {time.time()-t0:.0f}s: n_real={ms.n_real} "
         f"nsrl={ft.nsrl} S={ft.S} EW={ft.EW}")
 
+    t0 = time.time()
     fp = FusedPropagation(ms)
+    log(f"tables on device in {time.time()-t0:.0f}s "
+        f"(backend {fp.backend})")
     n = ms.n_pad
     rng = np.random.default_rng(0)
     wswave = 8.0 + 4.0 * rng.random(n)

@@ -224,6 +224,9 @@ def build_fused_tables(st, kxlt: np.ndarray, nfre_red: int,
         base = np.full(nseg, big, dtype=np.int64)
         np.minimum.at(base, seg_of_block, pmin)
         base = np.where(base == big, np.arange(nseg) * S + S, base)
+        # 8-align the window bases (TPU DMA slice constraint); the
+        # residual shifts fold into the tap offsets
+        base = np.maximum(base - base % 8, 0)
         ew = 1
         taps = []
         for pair in placed:

@@ -47,22 +47,24 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
     EWG = ((EW + 2 + 7) // 8) * 8          # aligned window-load pad
     nsrl = f_hbm.shape[0]
     pid = pl.program_id(0)
-    dnb = jnp.minimum(dn_ref[pid], nsrl - S - EWG)
-    upb = jnp.minimum(up_ref[pid], nsrl - S - EWG)
-    ownb = jnp.minimum(jnp.maximum(pid * S - 1, 0), nsrl - S - 8)
+    # all bases are host-aligned to 8 (TPU DMA tiling constraint)
+    dnb = pl.multiple_of(jnp.minimum(dn_ref[pid], nsrl - S - EWG), 8)
+    upb = pl.multiple_of(jnp.minimum(up_ref[pid], nsrl - S - EWG), 8)
+    ownb = pl.multiple_of(
+        jnp.minimum(jnp.maximum(pid * S - 8, 0), nsrl - S - 24), 8)
 
     copies = [
         pltpu.make_async_copy(f_hbm.at[pl.ds(dnb, S + EWG), :], wf_dn,
                               sems.at[0]),
         pltpu.make_async_copy(f_hbm.at[pl.ds(upb, S + EWG), :], wf_up,
                               sems.at[1]),
-        pltpu.make_async_copy(f_hbm.at[pl.ds(ownb, S + 8), :], wf_ow,
+        pltpu.make_async_copy(f_hbm.at[pl.ds(ownb, S + 24), :], wf_ow,
                               sems.at[2]),
         pltpu.make_async_copy(cg_hbm.at[pl.ds(dnb, S + EWG), :], wc_dn,
                               sems.at[3]),
         pltpu.make_async_copy(cg_hbm.at[pl.ds(upb, S + EWG), :], wc_up,
                               sems.at[4]),
-        pltpu.make_async_copy(cg_hbm.at[pl.ds(ownb, S + 8), :], wc_ow,
+        pltpu.make_async_copy(cg_hbm.at[pl.ds(ownb, S + 24), :], wc_ow,
                               sems.at[5]),
     ]
     for cp in copies:
@@ -86,12 +88,12 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
 
         wdn = wf_dn[pl.ds(r0, TS + EWG), :]
         wup = wf_up[pl.ds(r0, TS + EWG), :]
-        wow = wf_ow[pl.ds(r0, TS + 8), :]
+        wow = wf_ow[pl.ds(r0, TS + 16), :]
         cdn = wc_dn[pl.ds(r0, TS + EWG), :]
         cup = wc_up[pl.ds(r0, TS + EWG), :]
-        cow = wc_ow[pl.ds(r0, TS + 8), :]
+        cow = wc_ow[pl.ds(r0, TS + 16), :]
 
-        f_own = wow[1:TS + 1, :]
+        f_own = wow[8:TS + 8, :]
         taps_dn = taps_dn_ref[pl.ds(r0, TS), :]
         taps_up = taps_up_ref[pl.ds(r0, TS), :]
         sea = sea_ref[pl.ds(r0, TS), :]
@@ -117,12 +119,12 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
         v_corNW = fir(wup, 5)
         sea_w = sea[:, 0:0 + 1]
         sea_e = sea[:, 1:1 + 1]
-        v_W = sea_w * wow[0:TS, :]
-        v_E = sea_e * wow[2:TS + 2, :]
+        v_W = sea_w * wow[7:TS + 7, :]
+        v_E = sea_e * wow[9:TS + 9, :]
 
-        cg_o = cow[1:TS + 1, :]
-        cg_W = sea_w * cow[0:TS, :] + (1.0 - sea_w) * cg_land_lane
-        cg_E = (sea_e * cow[2:TS + 2, :]
+        cg_o = cow[8:TS + 8, :]
+        cg_W = sea_w * cow[7:TS + 7, :] + (1.0 - sea_w) * cg_land_lane
+        cg_E = (sea_e * cow[9:TS + 9, :]
                 + (1.0 - sea_e) * cg_land_lane)
         cg_S = fir(cdn, 0) + cglw[:, 0:0 + 1] * cg_land_lane
         cg_N = fir(cup, 3) + cglw[:, 1:1 + 1] * cg_land_lane
@@ -344,10 +346,10 @@ def advect_pallas(f_srl, cg_srl, dev, lc_pack, cgland_pack, dn_full,
         out_specs=pl.BlockSpec((S, L), lambda i, *_: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((S + EWG, L), dt), pltpu.VMEM((S + EWG, L), dt),
-            pltpu.VMEM((S + 8, L), dt),
+            pltpu.VMEM((S + 24, L), dt),
             pltpu.VMEM((S + EWG, nfre), dt),
             pltpu.VMEM((S + EWG, nfre), dt),
-            pltpu.VMEM((S + 8, nfre), dt),
+            pltpu.VMEM((S + 24, nfre), dt),
             pltpu.SemaphoreType.DMA((6,)),
         ],
     )
