@@ -78,9 +78,16 @@ class FusedPropagation:
         self.nsub = (max(1, round(setup.idelpro / setup.delpro_lf))
                      if setup.ifrelfmax > 0 else 1)
         lc_lo = None
+        # with σ̇ frequency shifting the sub-band carries ONE extra
+        # read-only frequency so the m+1 coupling at the band edge sees
+        # the once-advected high-band value (propag_wam.F90:262-265
+        # ND3EF1 = IFRELFMAX+1); its own output is discarded
+        self.mlf_w = (setup.ifrelfmax + 1
+                      if setup.irefra in (2, 3) and setup.ifrelfmax
+                      else setup.ifrelfmax)
         if self.nsub > 1:
-            dtl = np.full(setup.ifrelfmax, setup.delpro_lf)
-            lc_lo = _cast_lc(pfz.lane_consts(tb, dtl, setup.ifrelfmax), dt)
+            dtl = np.full(self.mlf_w, setup.delpro_lf)
+            lc_lo = _cast_lc(pfz.lane_consts(tb, dtl, self.mlf_w), dt)
 
         self.bundle = dict(dev=dev, cg_srl=cg_srl, cg_land=cg_land,
                            lc=lc, lc_lo=lc_lo, from_srl_pad=from_srl_pad)
@@ -100,10 +107,9 @@ class FusedPropagation:
                        cgland_pack=cgp(cg_land, self.nfre_red))
             if self.nsub > 1:
                 pkx["lc_pack_lo"] = pk._lc_pack(
-                    lc_lo, setup.ifrelfmax * self.nang, dt)
+                    lc_lo, self.mlf_w * self.nang, dt)
                 pkx["cgland_pack_lo"] = cgp(
-                    np.asarray(cg_land)[: setup.ifrelfmax],
-                    setup.ifrelfmax)
+                    np.asarray(cg_land)[: self.mlf_w], self.mlf_w)
             self.bundle["pk"] = pkx
         self.refresh()
 
@@ -202,35 +208,36 @@ class FusedPropagation:
         f_srl = _advect_srl(self, f_srl, bundle)
         if self.nsub > 1:
             mlf = setup.ifrelfmax
-            dev_lo = dict(dev, obs=dev["obs"][:, :, :mlf])
+            mw = self.mlf_w                      # mlf, or mlf+1 with σ̇
+            dev_lo = dict(dev, obs=dev["obs"][:, :, :mw])
             if "pf" in dev:
-                dev_lo["pf"] = dev["pf"][:, :, :mlf]
+                dev_lo["pf"] = dev["pf"][:, :, :mw]
             nsrl = f_srl.shape[0]
             for _ in range(self.nsub - 1):
                 # k-major lanes: the fast-wave band is the per-angle
                 # frequency prefix, not a contiguous lane prefix
                 f3 = f_srl.reshape(nsrl, self.nang, nfre_red)
-                f_lo = f3[:, :, :mlf].reshape(nsrl, self.nang * mlf)
+                f_lo = f3[:, :, :mw].reshape(nsrl, self.nang * mw)
                 f_lo = pfz.refresh_wraps(f_lo, dev)
                 if self.backend == "pallas":
                     from ecwam_tpu.ops import propagation_pallas as pk
                     pkx = bundle["pk"]
                     f_lo = pk.advect_pallas(
-                        f_lo, bundle["cg_srl"][:, :mlf], dev_lo,
+                        f_lo, bundle["cg_srl"][:, :mw], dev_lo,
                         pkx["lc_pack_lo"], pkx["cgland_pack_lo"],
                         pkx["dn_full"], pkx["up_full"],
-                        nang=self.nang, nfre=mlf, irefra=setup.irefra,
+                        nang=self.nang, nfre=mw, irefra=setup.irefra,
                         S=self.ft.S, EW=self.ft.EW,
                         fratio=bundle["lc"]["fratio"],
                         interpret=self.interpret)
                 else:
                     f_lo = pfz.advect_xla(
-                        f_lo, bundle["cg_srl"][:, :mlf], dev_lo,
-                        bundle["lc_lo"], bundle["cg_land"][:mlf],
-                        nang=self.nang, nfre=mlf, irefra=setup.irefra,
+                        f_lo, bundle["cg_srl"][:, :mw], dev_lo,
+                        bundle["lc_lo"], bundle["cg_land"][:mw],
+                        nang=self.nang, nfre=mw, irefra=setup.irefra,
                         S=self.ft.S, EW=self.ft.EW)
                 f3 = f3.at[:, :, :mlf].set(
-                    f_lo.reshape(nsrl, self.nang, mlf))
+                    f_lo.reshape(nsrl, self.nang, mw)[:, :, :mlf])
                 f_srl = f3.reshape(nsrl, self.L)
         return f_srl
 

@@ -206,9 +206,13 @@ def build_model(
     env["emaxdpt"] = jnp.asarray(dispersion.depth_limited_energy(depth), dtype)
 
     # surface currents (zero = no current; land slot zero)
-    if irefra in (2, 3) and ifrelfmax:
+    if irefra in (2, 3) and ifrelfmax and weights_mode == "otf":
         raise NotImplementedError(
-            "current refraction + fast-wave substepping not supported")
+            "current refraction + fast-wave substepping is supported in "
+            "the 'fused' and 'cached' weights modes only")
+    if ifrelfmax >= nfre_red:
+        raise ValueError("ifrelfmax must be < nfre_red "
+                         "(propag_wam.F90:257)")
     uc = np.zeros(n_pad + 1)
     vc = np.zeros(n_pad + 1)
     if currents is not None:

@@ -74,10 +74,13 @@ def _compute_weights(setup: ModelSetup, st, cg_ext, env=None):
 
     def bands(refr_):
         if setup.ifrelfmax > 0:
+            # with σ̇ shifting the sub-band weights carry one extra
+            # frequency for the band-edge m+1 read (propag_wam.F90:262)
+            mw = (setup.ifrelfmax + 1 if setup.irefra in (2, 3)
+                  else setup.ifrelfmax)
             w_lf = prop.ctuw_weights(
                 setup.delpro_lf, st, setup.tb, cg_ext,
-                mstart=0, mend=setup.ifrelfmax, irefra=setup.irefra,
-                **refr_)
+                mstart=0, mend=mw, irefra=setup.irefra, **refr_)
             w_hf = prop.ctuw_weights(
                 setup.idelpro, st, setup.tb, cg_ext,
                 mstart=setup.ifrelfmax, mend=setup.tb.nfre_red,
@@ -108,12 +111,20 @@ def propagate(setup: ModelSetup, weights, fl1, st):
     if setup.ifrelfmax > 0:
         w_lf, w_hf = weights
         nsub = max(1, round(setup.idelpro / setup.delpro_lf))
-        lf = fl1[:, : setup.ifrelfmax]
-        for _ in range(nsub):
-            lf = prop.propags2(_with_land(lf, fl1.dtype), w_lf, st, tb)
+        mlf = setup.ifrelfmax
+        mw = mlf + 1 if setup.irefra in (2, 3) else mlf
         hf = prop.propags2(
-            _with_land(fl1[:, setup.ifrelfmax:nfre_red], fl1.dtype),
-            w_hf, st, tb)
+            _with_land(fl1[:, mlf:nfre_red], fl1.dtype), w_hf, st, tb)
+        lf_win = fl1[:, :mw]
+        for _ in range(nsub):
+            lf = prop.propags2(_with_land(lf_win, fl1.dtype), w_lf,
+                               st, tb)[:, :mlf]
+            if mw > mlf:
+                # band-edge extra frequency: the once-advected high-band
+                # value (propag_wam.F90:276-283 FL1=FL3 copy)
+                lf_win = jnp.concatenate([lf, hf[:, :1]], axis=1)
+            else:
+                lf_win = lf
         out = jnp.concatenate([lf, hf], axis=1)
     else:
         (w,) = weights

@@ -99,15 +99,22 @@ def run(*, nsteps, idelpro, idelt, delpro_lf, ifrelfmax, irefra,
                 for k, v in w.items() if v is not None}
 
     def advect(f):
-        """propag_wam.F90:240-330 band structure."""
+        """propag_wam.F90:240-330 band structure.  With σ̇ shifting the
+        sub-band window carries one extra read-only frequency so the
+        band-edge m+1 coupling sees the once-advected high band
+        (ND3EF1 = IFRELFMAX+1, propag_wam.F90:262-265)."""
         if ifrelfmax > 0:
-            lf = f[:, :ifrelfmax]
-            wb = band(w_lf, 0, ifrelfmax)
-            for _ in range(nsub):
-                lf = propags2(with_land(lf), wb, st, kcr, ifrelfmax)
+            mw = ifrelfmax + 1 if irefra in (2, 3) else ifrelfmax
             hf = propags2(with_land(f[:, ifrelfmax:nfre_red]),
                           band(w_full, ifrelfmax, nfre_red), st, kcr,
                           nfre_red - ifrelfmax)
+            wb = band(w_lf, 0, mw)
+            lf_win = f[:, :mw]
+            for _ in range(nsub):
+                lf = propags2(with_land(lf_win), wb, st, kcr,
+                              mw)[:, :ifrelfmax]
+                lf_win = (np.concatenate([lf, hf[:, :1]], axis=1)
+                          if mw > ifrelfmax else lf)
             out = np.concatenate([lf, hf], axis=1)
         else:
             out = propags2(with_land(f[:, :nfre_red]), w_full, st, kcr,

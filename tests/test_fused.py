@@ -127,3 +127,24 @@ def test_fused_matches_dense_current_refraction():
 
 def test_fused_matches_dense_nfre_red():
     _compare(*_build_pair(nfre=25, nfre_red=20))
+
+
+def test_fused_matches_dense_currents_plus_fast_waves():
+    # irefra 2/3 + fast-wave substepping (VERDICT r2 item 7): the
+    # sub-band carries the extra band-edge frequency for the σ̇ shift
+    from ecwam_tpu.core.grid import regular_grid, aqua_bathymetry
+    grid = regular_grid(6.0)
+    bathy = aqua_bathymetry(grid)
+    ms_probe = setup_mod.build_model(
+        grid=grid, bathy=bathy, nang=12, nfre=25, pad_to=64,
+        dtype=jnp.float64)
+    rng = np.random.default_rng(9)
+    n = ms_probe.n_real
+    uc = 0.3 * (rng.random(n) - 0.5)
+    vc = 0.3 * (rng.random(n) - 0.5)
+    kw = dict(grid=grid, bathy=bathy, nang=12, nfre=25, idelpro=900.0,
+              idelt=900.0, delpro_lf=450.0, ifrelfmax=5, pad_to=64,
+              dtype=jnp.float64, irefra=3, currents=(uc, vc))
+    ms_ref = setup_mod.build_model(weights_mode="cached", **kw)
+    ms_fus = setup_mod.build_model(weights_mode="fused", **kw)
+    _compare(ms_ref, ms_fus, rtol=1e-10)

@@ -59,7 +59,8 @@ def _forcing(n_real, seed=11):
     return forcing_at
 
 
-@pytest.mark.parametrize("config", ["fastwaves_refra1", "currents3"])
+@pytest.mark.parametrize(
+    "config", ["fastwaves_refra1", "currents3", "fastwaves_currents3"])
 def test_wamintgr_trajectory(config):
     wg, b, obstr, blk = _grid_with_topo()
     n_real = blk.nsea
@@ -75,6 +76,8 @@ def test_wamintgr_trajectory(config):
         kw.update(idelpro=900.0, idelt=900.0, irefra=3,
                   currents=(0.35 * rng.standard_normal(n_real),
                             0.35 * rng.standard_normal(n_real)))
+        if config == "fastwaves_currents3":
+            kw.update(idelt=1800.0, delpro_lf=450.0, ifrelfmax=3)
     ms = setup_mod.build_model(**kw)
 
     # ---- JAX trajectory through the real driver ----------------------
