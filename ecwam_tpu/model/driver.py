@@ -96,10 +96,10 @@ class WaveModel:
             keys.append("ufric")
         for k in keys:
             v = np.asarray(raw[k], dtype=np.float64)
+            if k == "wswave" and self.setup.phys.icode_wnd == 3:
+                v = np.maximum(v, 1.0)
             out[k] = jnp.asarray(
                 pad_point_field(self.setup, v), self.setup.dtype)
-        if self.setup.phys.icode_wnd == 3:
-            out["wswave"] = jnp.maximum(out["wswave"], 1.0)
         cur = None
         if "ucur" in raw:
             cur = tuple(jnp.asarray(

@@ -74,7 +74,8 @@ class FusedPropagation:
         dtf = np.full(self.nfre_red, setup.idelpro)
         if setup.ifrelfmax > 0:
             dtf[: setup.ifrelfmax] = setup.delpro_lf
-        lc = _cast_lc(pfz.lane_consts(tb, dtf, self.nfre_red), dt)
+        lc_np = pfz.lane_consts(tb, dtf, self.nfre_red)
+        lc = _cast_lc(lc_np, dt)
         self.nsub = (max(1, round(setup.idelpro / setup.delpro_lf))
                      if setup.ifrelfmax > 0 else 1)
         lc_lo = None
@@ -85,9 +86,11 @@ class FusedPropagation:
         self.mlf_w = (setup.ifrelfmax + 1
                       if setup.irefra in (2, 3) and setup.ifrelfmax
                       else setup.ifrelfmax)
+        lc_lo_np = None
         if self.nsub > 1:
             dtl = np.full(self.mlf_w, setup.delpro_lf)
-            lc_lo = _cast_lc(pfz.lane_consts(tb, dtl, self.mlf_w), dt)
+            lc_lo_np = pfz.lane_consts(tb, dtl, self.mlf_w)
+            lc_lo = _cast_lc(lc_lo_np, dt)
 
         self.bundle = dict(dev=dev, cg_srl=cg_srl, cg_land=cg_land,
                            lc=lc, lc_lo=lc_lo, from_srl_pad=from_srl_pad)
@@ -103,13 +106,13 @@ class FusedPropagation:
                 z[0] = np.asarray(cgl)
                 return jnp.asarray(z, dt)
             pkx = dict(dn_full=jnp.asarray(dnf), up_full=jnp.asarray(upf),
-                       lc_pack=pk._lc_pack(lc, self.L, dt),
-                       cgland_pack=cgp(cg_land, self.nfre_red))
+                       lc_pack=pk._lc_pack(lc_np, self.L, dt),
+                       cgland_pack=cgp(fe["cg_land"], self.nfre_red))
             if self.nsub > 1:
                 pkx["lc_pack_lo"] = pk._lc_pack(
-                    lc_lo, self.mlf_w * self.nang, dt)
+                    lc_lo_np, self.mlf_w * self.nang, dt)
                 pkx["cgland_pack_lo"] = cgp(
-                    np.asarray(cg_land)[: self.mlf_w], self.mlf_w)
+                    np.asarray(fe["cg_land"])[: self.mlf_w], self.mlf_w)
             self.bundle["pk"] = pkx
         self.refresh()
 

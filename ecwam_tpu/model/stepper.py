@@ -398,20 +398,23 @@ def initial_stress(setup: ModelSetup, frc):
     from ecwam_tpu.core import constants as c
     from ecwam_tpu.core import physparams as pp
 
+    # computed in numpy with single device pushes: on a relay-attached
+    # accelerator every eager device op costs a remote compile
     dt = setup.dtype
     wspmin = 1.0                       # userin.F90:917 default
-    u10 = jnp.maximum(frc["wswave"], wspmin)
-    cd = jnp.minimum((c.C1CD + c.C2CD * u10**c.P1CD) * u10**c.P2CD,
-                     c.CDMAX)
-    ustar = jnp.maximum(jnp.sqrt(cd) * u10, c.EPSUS)
-    z0 = jnp.maximum(
-        pp.XNLEV / (jnp.exp(pp.XKAPPA
-                            * jnp.minimum(u10 / ustar, 100.0)) - 1.0),
+    u10 = np.maximum(np.asarray(frc["wswave"], np.float64), wspmin)
+    cd = np.minimum((c.C1CD + c.C2CD * u10**c.P1CD) * u10**c.P2CD,
+                    c.CDMAX)
+    ustar = np.maximum(np.sqrt(cd) * u10, c.EPSUS)
+    z0 = np.maximum(
+        pp.XNLEV / (np.exp(pp.XKAPPA
+                           * np.minimum(u10 / ustar, 100.0)) - 1.0),
         1.0e-6)
-    alphaog = setup.phys.params.alpha / c.G
-    return dict(ufric=ustar.astype(dt),
-                tauw=(0.1 * ustar**2).astype(dt),
+    return dict(ufric=jnp.asarray(ustar, dt),
+                tauw=jnp.asarray(0.1 * ustar**2, dt),
                 tauwdir=jnp.asarray(frc["wdwave"], dt),
-                z0m=z0.astype(dt), z0b=jnp.zeros_like(u10).astype(dt),
-                chrnck=jnp.maximum(c.G * z0 / ustar**2,
-                                   setup.phys.params.alpha).astype(dt))
+                z0m=jnp.asarray(z0, dt),
+                z0b=jnp.zeros(u10.shape[0], dt),
+                chrnck=jnp.asarray(
+                    np.maximum(c.G * z0 / ustar**2,
+                               setup.phys.params.alpha), dt))

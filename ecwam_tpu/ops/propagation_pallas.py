@@ -32,8 +32,13 @@ LC_ROWS = ("s", "cth", "east", "north", "dt", "sp", "sm",
 
 
 def _lc_pack(lc, L, dtype):
-    rows = [jnp.asarray(lc[k], dtype).reshape(1, L) for k in LC_ROWS]
-    return jnp.concatenate(rows, axis=0)           # (len(LC_ROWS), L)
+    """Pack the lane constants into one (len(LC_ROWS), L) device array.
+
+    Built host-side in numpy with a single transfer: on a relay-attached
+    accelerator every eager device op costs a remote compile."""
+    import numpy as np
+    rows = np.stack([np.asarray(lc[k]).reshape(L) for k in LC_ROWS])
+    return jnp.asarray(rows, dtype)
 
 
 def _kernel(dn_ref, up_ref,                        # scalar prefetch
