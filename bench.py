@@ -76,7 +76,7 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=29,
     from ecwam_tpu.model import preset, stepper as stepper_mod
     from ecwam_tpu.model.fusedstep import FusedPropagation
 
-    chunk = 32768
+    chunk = 8192
     log(f"building {grid_name} (fused)")
     t0 = time.time()
     ms = setup_mod.build_model(

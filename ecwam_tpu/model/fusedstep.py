@@ -10,7 +10,12 @@ Refraction inputs (θ̇/σ̇ gradient coefficients, propdot.F90:60-150) and
 the CFL current-retry mask (ctuw.F90:114-123) are recomputed only on
 :meth:`refresh` (the reference's LUPDTWGHT), not per step.  All device
 arrays travel in a ``bundle`` pytree passed as a jit argument — never as
-closure constants (large constants bloat the serialized HLO).
+closure constants — and every table is packed host-side in numpy with a
+single push (on a relay-attached accelerator each eager device op costs
+a remote compile).
+
+On TPU/f32 the Pallas kernel backend is selected; it works on
+lane-padded (nsrl, LP) state (LP = 128-multiple of nang·nfre).
 """
 
 from __future__ import annotations
@@ -23,13 +28,8 @@ from ecwam_tpu.ops import propagation as prop
 from ecwam_tpu.ops import propagation_fused as pfz
 
 
-def _np_env(setup, key):
-    return np.asarray(setup.env[key], np.float64)
-
-
 def default_backend(dtype) -> str:
     """'pallas' on real TPU devices for f32, else 'xla'."""
-    import jax
     try:
         plat = jax.devices()[0].platform
     except Exception:
@@ -53,6 +53,7 @@ class FusedPropagation:
         self.nang = tb.nang
         self.nfre_red = tb.nfre_red
         self.L = self.nang * self.nfre_red
+        self.LP = -(-self.L // 128) * 128
         dt = self.dtype = setup.dtype
         self.backend = backend or default_backend(dt)
         self.interpret = interpret
@@ -66,6 +67,7 @@ class FusedPropagation:
         fe = setup.fused_env
         if fe is None:
             raise ValueError("setup lacks fused_env statics")
+        self.fe = fe
         cg_srl = jnp.asarray(fe["cg_srl"], dt)
         cg_land = jnp.asarray(fe["cg_land"], dt)
         if setup.irefra:
@@ -74,11 +76,10 @@ class FusedPropagation:
         dtf = np.full(self.nfre_red, setup.idelpro)
         if setup.ifrelfmax > 0:
             dtf[: setup.ifrelfmax] = setup.delpro_lf
-        lc_np = pfz.lane_consts(tb, dtf, self.nfre_red)
-        lc = _cast_lc(lc_np, dt)
+        self.lc_np = pfz.lane_consts(tb, dtf, self.nfre_red)
+        lc = _cast_lc(self.lc_np, dt)
         self.nsub = (max(1, round(setup.idelpro / setup.delpro_lf))
                      if setup.ifrelfmax > 0 else 1)
-        lc_lo = None
         # with σ̇ frequency shifting the sub-band carries ONE extra
         # read-only frequency so the m+1 coupling at the band edge sees
         # the once-advected high-band value (propag_wam.F90:262-265
@@ -86,34 +87,15 @@ class FusedPropagation:
         self.mlf_w = (setup.ifrelfmax + 1
                       if setup.irefra in (2, 3) and setup.ifrelfmax
                       else setup.ifrelfmax)
-        lc_lo_np = None
+        lc_lo = None
+        self.lc_lo_np = None
         if self.nsub > 1:
             dtl = np.full(self.mlf_w, setup.delpro_lf)
-            lc_lo_np = pfz.lane_consts(tb, dtl, self.mlf_w)
-            lc_lo = _cast_lc(lc_lo_np, dt)
+            self.lc_lo_np = pfz.lane_consts(tb, dtl, self.mlf_w)
+            lc_lo = _cast_lc(self.lc_lo_np, dt)
 
         self.bundle = dict(dev=dev, cg_srl=cg_srl, cg_land=cg_land,
                            lc=lc, lc_lo=lc_lo, from_srl_pad=from_srl_pad)
-        if self.backend == "pallas":
-            from ecwam_tpu.ops import propagation_pallas as pk
-            nblocks = ft.nsrl // ft.S
-            dnf = np.zeros(nblocks, np.int32)
-            upf = np.zeros(nblocks, np.int32)
-            dnf[1:1 + ft.nseg] = np.asarray(ft.dn_base)
-            upf[1:1 + ft.nseg] = np.asarray(ft.up_base)
-            def cgp(cgl, nf):
-                z = np.zeros((8, nf))
-                z[0] = np.asarray(cgl)
-                return jnp.asarray(z, dt)
-            pkx = dict(dn_full=jnp.asarray(dnf), up_full=jnp.asarray(upf),
-                       lc_pack=pk._lc_pack(lc_np, self.L, dt),
-                       cgland_pack=cgp(fe["cg_land"], self.nfre_red))
-            if self.nsub > 1:
-                pkx["lc_pack_lo"] = pk._lc_pack(
-                    lc_lo_np, self.mlf_w * self.nang, dt)
-                pkx["cgland_pack_lo"] = cgp(
-                    np.asarray(fe["cg_land"])[: self.mlf_w], self.mlf_w)
-            self.bundle["pk"] = pkx
         self.refresh()
 
     # -- LUPDTWGHT / GETCURR ------------------------------------------
@@ -124,6 +106,7 @@ class FusedPropagation:
         dev = dict(self.bundle["dev"])
         src = np.asarray(self.ft.srl_src)
         u_ext = v_ext = None
+        uv_np = grads_np = None
         if setup.irefra in (2, 3):
             if ucur is not None:
                 u_ext = np.concatenate(
@@ -131,16 +114,16 @@ class FusedPropagation:
                 v_ext = np.concatenate(
                     [np.asarray(vcur, np.float64)[:setup.n_pad], [0.0]])
             else:
-                u_ext = _np_env(setup, "ucur_ext")
-                v_ext = _np_env(setup, "vcur_ext")
-            dev["uv"] = jnp.asarray(
-                np.stack([u_ext[src], v_ext[src]], axis=-1), self.dtype)
+                u_ext = np.asarray(setup.env["ucur_ext"], np.float64)
+                v_ext = np.asarray(setup.env["vcur_ext"], np.float64)
+            uv_np = np.stack([u_ext[src], v_ext[src]], axis=-1)
+            dev["uv"] = jnp.asarray(uv_np, self.dtype)
 
         if setup.irefra:
             zeros = np.zeros(setup.n_pad + 1)
             g = {k: np.asarray(v, np.float64) for k, v in prop.gradi(
                 setup.stencil,
-                np.asarray(setup.fused_env["depth_ext"], np.float64),
+                np.asarray(self.fe["depth_ext"], np.float64),
                 u_ext if u_ext is not None else zeros,
                 v_ext if v_ext is not None else zeros,
                 setup.irefra).items()}
@@ -157,37 +140,77 @@ class FusedPropagation:
             grads[:-1, 4] = g["dulam"] * dco
             grads[:-1, 5] = g["dvlam"] * dco
             grads[:-1, 6] = omdd
-            dev["grads"] = jnp.asarray(grads[src], self.dtype)
+            grads_np = grads[src]
+            dev["grads"] = jnp.asarray(grads_np, self.dtype)
 
         self.bundle = dict(self.bundle, dev=dev)
         if setup.irefra in (2, 3):
             # CFL current-retry (ctuw.F90:114-123): disable the current
             # terms wherever the first-pass CFL check fails
-            _, cfl = _advect_srl(
+            _, cfl = _advect_xla_srl(
                 self, jnp.zeros((self.ft.nsrl, self.L), self.dtype),
                 self.bundle, with_cfl=True)
-            mask = 1.0 - jnp.asarray(cfl, self.dtype)
+            mask = 1.0 - np.asarray(cfl, np.float64)
+            grads_np = grads_np.copy()
+            grads_np[:, 2:7] *= mask[:, None]
             dev = dict(self.bundle["dev"])
-            dev["grads"] = dev["grads"].at[:, 2:7].mul(mask[:, None])
+            dev["grads"] = jnp.asarray(grads_np, self.dtype)
             self.bundle = dict(self.bundle, dev=dev)
+
+        if self.backend == "pallas":
+            from ecwam_tpu.ops import propagation_pallas as pk
+            ft, fe = self.ft, self.fe
+            src_np = dict(taps_dn=ft.taps_dn, taps_up=ft.taps_up,
+                          sea_own=ft.sea_own, cgland=ft.cgland,
+                          geom=ft.geom, valid=ft.valid, obs=ft.obs)
+            if setup.irefra:
+                src_np["pf"] = fe["pf"]
+            if uv_np is not None:
+                src_np["uv"] = uv_np
+            if grads_np is not None:
+                src_np["grads"] = grads_np
+            tabs = pk.pack_tables(
+                src_np, self.lc_np, fe["cg_srl"], fe["cg_land"],
+                ft.dn_base, ft.up_base, S=ft.S, EW=ft.EW,
+                nang=self.nang, nfre=self.nfre_red, nsrl=ft.nsrl,
+                dtype=self.dtype)
+            self._fratio = tabs.pop("fratio")
+            bundle = dict(self.bundle, pk=tabs)
+            if self.nsub > 1:
+                mw = self.mlf_w
+                src_lo = dict(src_np,
+                              obs=np.asarray(ft.obs)[:, :, :mw])
+                if "pf" in src_np:
+                    src_lo["pf"] = np.asarray(fe["pf"])[:, :, :mw]
+                tabs_lo = pk.pack_tables(
+                    src_lo, self.lc_lo_np,
+                    np.asarray(fe["cg_srl"])[:, :mw],
+                    np.asarray(fe["cg_land"])[:mw],
+                    ft.dn_base, ft.up_base, S=ft.S, EW=ft.EW,
+                    nang=self.nang, nfre=mw, nsrl=ft.nsrl,
+                    dtype=self.dtype)
+                tabs_lo.pop("fratio")
+                bundle["pk_lo"] = tabs_lo
+            self.bundle = bundle
 
     # -- pure steps (jit these with bundle as an argument) -------------
     def to_srl(self, fl1, bundle):
-        """Compact (nang, nfre, n_pad) spectrum → SRL (nsrl, L)."""
+        """Compact (nang, nfre, n_pad) spectrum → SRL (nsrl, L[P])."""
         fll = pfz.to_lanes(fl1, self.nfre_red, self.nang)
         fll = jnp.concatenate(
             [fll, jnp.zeros((1, self.L), fll.dtype)], axis=0)
+        if self.backend == "pallas" and self.LP > self.L:
+            fll = jnp.pad(fll, ((0, 0), (0, self.LP - self.L)))
         return fll[bundle["dev"]["srl_src"]]
 
     def from_srl(self, f_srl, bundle):
         """SRL state → compact (nang, nfre_red, n_pad) spectrum."""
-        return pfz.from_lanes(f_srl[bundle["from_srl_pad"]],
-                              self.nfre_red, self.nang)
+        out = f_srl[bundle["from_srl_pad"]][:, : self.L]
+        return pfz.from_lanes(out, self.nfre_red, self.nang)
 
     def advect_srl(self, f_srl, bundle):
-        """One full advection step on SRL-resident state (for chained
-        advections without the compact round trip): re-duplicates the
-        row-wrap slots, then advects (incl. fast-wave substeps)."""
+        """One full advection step on SRL-resident state (chained
+        advections without the compact round trip)."""
         f_srl = pfz.refresh_wraps(f_srl, bundle["dev"])
         return self._substeps(f_srl, bundle)
 
@@ -208,30 +231,39 @@ class FusedPropagation:
         setup = self.setup
         nfre_red = self.nfre_red
         dev = bundle["dev"]
-        f_srl = _advect_srl(self, f_srl, bundle)
+        pallas = self.backend == "pallas"
+        if pallas:
+            from ecwam_tpu.ops import propagation_pallas as pk
+            f_srl = pk.advect_pallas(
+                f_srl, bundle["pk"], nang=self.nang, nfre=nfre_red,
+                irefra=setup.irefra, S=self.ft.S, EW=self.ft.EW,
+                fratio=float(setup.tb.fratio), interpret=self.interpret)
+        else:
+            f_srl = _advect_xla_srl(self, f_srl, bundle)
         if self.nsub > 1:
             mlf = setup.ifrelfmax
             mw = self.mlf_w                      # mlf, or mlf+1 with σ̇
-            dev_lo = dict(dev, obs=dev["obs"][:, :, :mw])
-            if "pf" in dev:
-                dev_lo["pf"] = dev["pf"][:, :, :mw]
             nsrl = f_srl.shape[0]
+            Llo = self.nang * mw
+            LPlo = -(-Llo // 128) * 128 if pallas else Llo
+            if not pallas:
+                dev_lo = dict(dev, obs=dev["obs"][:, :, :mw])
+                if "pf" in dev:
+                    dev_lo["pf"] = dev["pf"][:, :, :mw]
             for _ in range(self.nsub - 1):
                 # k-major lanes: the fast-wave band is the per-angle
                 # frequency prefix, not a contiguous lane prefix
-                f3 = f_srl.reshape(nsrl, self.nang, nfre_red)
-                f_lo = f3[:, :, :mw].reshape(nsrl, self.nang * mw)
+                f3 = f_srl[:, : self.L].reshape(nsrl, self.nang,
+                                                nfre_red)
+                f_lo = f3[:, :, :mw].reshape(nsrl, Llo)
+                if LPlo > Llo:
+                    f_lo = jnp.pad(f_lo, ((0, 0), (0, LPlo - Llo)))
                 f_lo = pfz.refresh_wraps(f_lo, dev)
-                if self.backend == "pallas":
-                    from ecwam_tpu.ops import propagation_pallas as pk
-                    pkx = bundle["pk"]
+                if pallas:
                     f_lo = pk.advect_pallas(
-                        f_lo, bundle["cg_srl"][:, :mw], dev_lo,
-                        pkx["lc_pack_lo"], pkx["cgland_pack_lo"],
-                        pkx["dn_full"], pkx["up_full"],
-                        nang=self.nang, nfre=mw, irefra=setup.irefra,
-                        S=self.ft.S, EW=self.ft.EW,
-                        fratio=bundle["lc"]["fratio"],
+                        f_lo, bundle["pk_lo"], nang=self.nang, nfre=mw,
+                        irefra=setup.irefra, S=self.ft.S, EW=self.ft.EW,
+                        fratio=float(setup.tb.fratio),
                         interpret=self.interpret)
                 else:
                     f_lo = pfz.advect_xla(
@@ -240,21 +272,17 @@ class FusedPropagation:
                         nang=self.nang, nfre=mw, irefra=setup.irefra,
                         S=self.ft.S, EW=self.ft.EW)
                 f3 = f3.at[:, :, :mlf].set(
-                    f_lo.reshape(nsrl, self.nang, mw)[:, :, :mlf])
-                f_srl = f3.reshape(nsrl, self.L)
+                    f_lo[:, :Llo].reshape(nsrl, self.nang,
+                                          mw)[:, :, :mlf])
+                out = f3.reshape(nsrl, self.L)
+                if self.LP > self.L and pallas:
+                    out = jnp.pad(out, ((0, 0), (0, self.LP - self.L)))
+                f_srl = out
         return f_srl
 
 
-def _advect_srl(fp: FusedPropagation, f_srl, bundle, *, with_cfl=False):
-    if fp.backend == "pallas" and not with_cfl:
-        from ecwam_tpu.ops import propagation_pallas as pk
-        pkx = bundle["pk"]
-        return pk.advect_pallas(
-            f_srl, bundle["cg_srl"], bundle["dev"], pkx["lc_pack"],
-            pkx["cgland_pack"], pkx["dn_full"], pkx["up_full"],
-            nang=fp.nang, nfre=fp.nfre_red, irefra=fp.setup.irefra,
-            S=fp.ft.S, EW=fp.ft.EW, fratio=bundle["lc"]["fratio"],
-            interpret=fp.interpret)
+def _advect_xla_srl(fp: FusedPropagation, f_srl, bundle, *,
+                    with_cfl=False):
     return pfz.advect_xla(
         f_srl, bundle["cg_srl"], bundle["dev"], bundle["lc"],
         bundle["cg_land"], nang=fp.nang, nfre=fp.nfre_red,

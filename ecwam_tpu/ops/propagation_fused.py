@@ -65,11 +65,14 @@ class FusedTables:
 
     S: int                   # segment size (points), multiple of 8
     EW: int                  # tap window width
+    WD: int                  # wrap-copy depth per row side
     nseg: int                # number of body segments
     nsrl: int                # total SRL length incl front/end pads
     body0: int               # SRL position of the first body slot (= S)
     npts: int                # compact sea-point count this was built for
     land_index: int          # index of the zero/land slot in the source
+    row_base: np.ndarray     # (ngy,) SRL start of each latitude row
+    row_len: np.ndarray      # (ngy,) SRL storage length of each row
     # layout maps
     srl_src: np.ndarray      # (nsrl,) int32 → compact-ext source index
     from_srl: np.ndarray     # (npts,) int32 → SRL position of each point
@@ -309,8 +312,10 @@ def build_fused_tables(st, kxlt: np.ndarray, nfre_red: int,
         obs[srl_of_block, slot, :] = obs_src[name].T[:, :nfre_red]
 
     return FusedTables(
-        S=S, EW=int(EW), nseg=int(nseg), nsrl=int(nsrl), body0=S,
-        npts=npts, land_index=int(land_index),
+        S=S, EW=int(EW), WD=int(WD), nseg=int(nseg), nsrl=int(nsrl),
+        body0=S, npts=npts, land_index=int(land_index),
+        row_base=row_base.astype(np.int64),
+        row_len=row_len.astype(np.int64),
         srl_src=srl_src.astype(np.int32),
         from_srl=srl_of_block.astype(np.int32),
         valid=valid,

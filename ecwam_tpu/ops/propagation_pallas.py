@@ -7,52 +7,115 @@ segment and every weight recomputed in registers, so HBM traffic is just
 the three window reads + one write per point (plus small tables) instead
 of the ~17 weight floats/bin of the dense path.
 
-Layout contracts (see propagation_fused.py):
-  * f_srl (nsrl, L) f32, L = nfre·nang, k-major lanes (l = k·nfre + m)
-  * per-(point,freq) fields expand over lanes with pltpu.repeat (tile
-    semantics == k-major), the angle roll is a whole-width lane roll
-  * grid = nsrl//S blocks; block 0 and the two tail blocks are the SRL
-    front/end pads (valid=0 zeroes their output)
+TPU constraints shaping the implementation:
+  * DMA slices must be 8-aligned in sublanes and 128-aligned in lanes —
+    window bases are host-aligned (residuals folded into the taps) and
+    every array's lane width is padded to a multiple of 128 by
+    :func:`pack_tables` (pad lanes are zero and never flow into real
+    lanes: the angle roll uses a two-roll + lane-mask form).
+  * Per-point tables are packed into one (nsrl, 128) array (``ptab``).
+  * pltpu.repeat has tile semantics == the k-major lane expansion.
 """
 
 from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# row order of the packed lane-constant input (must match _lc_pack)
+# row order of the packed lane-constant input
 LC_ROWS = ("s", "cth", "east", "north", "dt", "sp", "sm",
            "sd_p", "cd_p", "sd_m", "cd_m",
            "ss_p", "sc_p", "cc_p", "ss_m", "sc_m", "cc_m",
            "nf_sc", "nf_cc", "nf_ss", "dfp", "dfm", "m_first", "m_last")
 
+# ptab column layout
+PT_SEA_W, PT_SEA_E, PT_CGL_DN, PT_CGL_UP = 0, 1, 2, 3
+PT_GEOM = 4            # 8 columns: zdello, cosphm1, tanph, dp_s, dp_n, xdella
+PT_VALID = 12
+PT_U, PT_V = 13, 14
+PT_GRADS = 16          # 8 columns (GRADS_FIELDS order)
 
-def _lc_pack(lc, L, dtype):
-    """Pack the lane constants into one (len(LC_ROWS), L) device array.
 
-    Built host-side in numpy with a single transfer: on a relay-attached
-    accelerator every eager device op costs a remote compile."""
-    import numpy as np
-    rows = np.stack([np.asarray(lc[k]).reshape(L) for k in LC_ROWS])
-    return jnp.asarray(rows, dtype)
+def _pad128(a, axis=-1):
+    n = a.shape[axis]
+    p = (-n) % 128
+    if p == 0:
+        return a
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, p)
+    return np.pad(np.asarray(a), pad)
+
+
+def pack_tables(ft_dev_np: dict, lc_np: dict, cg_srl_np, cg_land_np,
+                dn_base, up_base, *, S: int, EW: int, nang: int,
+                nfre: int, nsrl: int, dtype) -> dict:
+    """Host-side (numpy) kernel table pack → single device pushes.
+
+    ``ft_dev_np``: numpy dict with taps_dn/up (nsrl,3,EW), sea_own,
+    cgland, geom (nsrl,8), valid (nsrl,), obs (nsrl,8,nfre), optional
+    uv (nsrl,2) and grads (nsrl,8).
+    """
+    L = nang * nfre
+    ptab = np.zeros((nsrl, 128))
+    ptab[:, PT_SEA_W:PT_SEA_E + 1] = np.asarray(ft_dev_np["sea_own"])
+    ptab[:, PT_CGL_DN:PT_CGL_UP + 1] = np.asarray(ft_dev_np["cgland"])
+    ptab[:, PT_GEOM:PT_GEOM + 8] = np.asarray(ft_dev_np["geom"])
+    ptab[:, PT_VALID] = np.asarray(ft_dev_np["valid"])
+    if "uv" in ft_dev_np:
+        ptab[:, PT_U:PT_V + 1] = np.asarray(ft_dev_np["uv"])
+    if "grads" in ft_dev_np:
+        ptab[:, PT_GRADS:PT_GRADS + 8] = np.asarray(ft_dev_np["grads"])
+
+    taps_dn = _pad128(np.asarray(ft_dev_np["taps_dn"]).reshape(nsrl, -1))
+    taps_up = _pad128(np.asarray(ft_dev_np["taps_up"]).reshape(nsrl, -1))
+    obs = _pad128(np.asarray(ft_dev_np["obs"]).reshape(nsrl, -1))
+    if "pf" in ft_dev_np and ft_dev_np["pf"] is not None:
+        pf = _pad128(np.asarray(ft_dev_np["pf"]).reshape(nsrl, -1))
+    else:
+        pf = np.zeros((nsrl, 128))
+    cg = _pad128(np.asarray(cg_srl_np))
+    cgland = np.zeros((8, cg.shape[1]))
+    cgland[0, :nfre] = np.asarray(cg_land_np)
+    lc = np.stack([
+        np.pad(np.asarray(lc_np[k]).reshape(L), (0, (-L) % 128))
+        for k in LC_ROWS])
+
+    nblocks = nsrl // S
+    dnf = np.zeros(nblocks, np.int32)
+    upf = np.zeros(nblocks, np.int32)
+    nb = min(nblocks, len(dn_base) + 1)
+    dnf[1:nb] = np.asarray(dn_base)[:nb - 1]
+    upf[1:nb] = np.asarray(up_base)[:nb - 1]
+
+    return dict(
+        ptab=jnp.asarray(ptab, dtype),
+        taps_dn=jnp.asarray(taps_dn, dtype),
+        taps_up=jnp.asarray(taps_up, dtype),
+        obs=jnp.asarray(obs, dtype),
+        pf=jnp.asarray(pf, dtype),
+        cg=jnp.asarray(cg, dtype),
+        cgland=jnp.asarray(cgland, dtype),
+        lc=jnp.asarray(lc, dtype),
+        dn_full=jnp.asarray(dnf), up_full=jnp.asarray(upf),
+        fratio=float(lc_np["fratio"]))
 
 
 def _kernel(dn_ref, up_ref,                        # scalar prefetch
-            f_hbm, cg_hbm, taps_dn_ref, taps_up_ref, sea_ref, cgl_ref,
-            geom_ref, valid_ref, obs_ref, uv_ref, grads_ref, pf_ref,
-            lc_ref, cgland_ref,
+            f_hbm, cg_hbm, taps_dn_ref, taps_up_ref, ptab_ref,
+            obs_ref, pf_ref, lc_ref, cgland_ref,
             out_ref,
             wf_dn, wf_up, wf_ow, wc_dn, wc_up, wc_ow, sems,
             *, S, EW, TS, nang, nfre, irefra, fratio, cmtodeg):
     L = nang * nfre
-    EWG = ((EW + 2 + 7) // 8) * 8          # aligned window-load pad
+    LP = f_hbm.shape[1]
+    EWG = ((EW + 2 + 7) // 8) * 8
     nsrl = f_hbm.shape[0]
     pid = pl.program_id(0)
-    # all bases are host-aligned to 8 (TPU DMA tiling constraint)
     dnb = pl.multiple_of(jnp.minimum(dn_ref[pid], nsrl - S - EWG), 8)
     upb = pl.multiple_of(jnp.minimum(up_ref[pid], nsrl - S - EWG), 8)
     ownb = pl.multiple_of(
@@ -80,15 +143,28 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
     lc = {k: lc_ref[i:i + 1, :] for i, k in enumerate(LC_ROWS)}
     cg_land_lane = cgland_ref[0:1, :]
     have_cur = irefra in (2, 3)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LP), 1)
+    first_group = (lane < nfre).astype(wf_dn.dtype)
 
-    def lroll(x, s):
-        # pltpu.roll wants non-negative shifts
-        return pltpu.roll(x, s % x.shape[1], axis=1)
+    def roll_k(f, d):
+        """f at direction k+d; zero pad lanes never reach real lanes."""
+        if d == -1:
+            r = pltpu.roll(f, nfre, axis=1)
+            rw = pltpu.roll(f, (nfre - L) % LP, axis=1)
+            return first_group * rw + (1.0 - first_group) * r
+        last_group = ((lane >= L - nfre) & (lane < L)).astype(f.dtype)
+        r = pltpu.roll(f, LP - nfre, axis=1)
+        rw = pltpu.roll(f, (L - nfre) % LP, axis=1)
+        return last_group * rw + (1.0 - last_group) * r
+
+    def shift_m(f, d):
+        if d == +1:
+            r = pltpu.roll(f, LP - 1, axis=1)
+            return lc["m_last"] * f + (1.0 - lc["m_last"]) * r
+        r = pltpu.roll(f, 1, axis=1)
+        return lc["m_first"] * f + (1.0 - lc["m_first"]) * r
 
     def strip(si, _):
-        # Mosaic needs dynamic sublane offsets provably 8-aligned: load
-        # aligned supersets once, then take STATIC sub-slices for the
-        # per-tap row offsets.
         r0 = pl.multiple_of(si * TS, TS)
 
         wdn = wf_dn[pl.ds(r0, TS + EWG), :]
@@ -101,11 +177,11 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
         f_own = wow[8:TS + 8, :]
         taps_dn = taps_dn_ref[pl.ds(r0, TS), :]
         taps_up = taps_up_ref[pl.ds(r0, TS), :]
-        sea = sea_ref[pl.ds(r0, TS), :]
-        cglw = cgl_ref[pl.ds(r0, TS), :]
-        geom = geom_ref[pl.ds(r0, TS), :]
-        valid = valid_ref[pl.ds(r0, TS), :]
+        pt = ptab_ref[pl.ds(r0, TS), :]
         obs = obs_ref[pl.ds(r0, TS), :]
+
+        def col(i):
+            return pt[:, i:i + 1]
 
         def fir(win, field):
             acc = None
@@ -122,27 +198,32 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
         v_latN = fir(wup, 3)
         v_corNE = fir(wup, 4)
         v_corNW = fir(wup, 5)
-        sea_w = sea[:, 0:0 + 1]
-        sea_e = sea[:, 1:1 + 1]
+        sea_w = col(PT_SEA_W)
+        sea_e = col(PT_SEA_E)
         v_W = sea_w * wow[7:TS + 7, :]
         v_E = sea_e * wow[9:TS + 9, :]
 
         cg_o = cow[8:TS + 8, :]
         cg_W = sea_w * cow[7:TS + 7, :] + (1.0 - sea_w) * cg_land_lane
-        cg_E = (sea_e * cow[9:TS + 9, :]
-                + (1.0 - sea_e) * cg_land_lane)
-        cg_S = fir(cdn, 0) + cglw[:, 0:0 + 1] * cg_land_lane
-        cg_N = fir(cup, 3) + cglw[:, 1:1 + 1] * cg_land_lane
+        cg_E = sea_e * cow[9:TS + 9, :] + (1.0 - sea_e) * cg_land_lane
+        cg_S = fir(cdn, 0) + col(PT_CGL_DN) * cg_land_lane
+        cg_N = fir(cup, 3) + col(PT_CGL_UP) * cg_land_lane
 
-        z = geom[:, 0:0 + 1]
-        ci = geom[:, 1:1 + 1]
-        tp = geom[:, 2:2 + 1]
-        dp_s = geom[:, 3:3 + 1]
-        dp_n = geom[:, 4:4 + 1]
-        xdella = geom[:, 5:5 + 1]
+        z = col(PT_GEOM + 0)
+        ci = col(PT_GEOM + 1)
+        tp = col(PT_GEOM + 2)
+        dp_s = col(PT_GEOM + 3)
+        dp_n = col(PT_GEOM + 4)
+        xdella = col(PT_GEOM + 5)
+        valid = col(PT_VALID)
 
         def expand(x):
-            return pltpu.repeat(x, nang, axis=1)
+            # (TS, nfre) per-freq field → (TS, LP) k-major lanes
+            r = pltpu.repeat(x[:, :nfre], nang, axis=1)
+            if LP > L:
+                r = jnp.concatenate(
+                    [r, jnp.zeros((TS, LP - L), r.dtype)], axis=1)
+            return r
 
         xw = expand(0.5 * (cg_o + cg_W) * ci) * lc["s"]
         xe = expand(0.5 * (cg_o + cg_E) * ci) * lc["s"]
@@ -150,9 +231,8 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
         yn = expand(0.5 * (cg_o + dp_n * cg_N)) * lc["cth"]
 
         if have_cur:
-            uv = uv_ref[pl.ds(r0, TS), :]
-            u = uv[:, 0:0 + 1]
-            v = uv[:, 1:1 + 1]
+            u = col(PT_U)
+            v = col(PT_V)
 
             def updown(cgx, vadd):
                 rel = cgx + vadd
@@ -213,11 +293,9 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
         cgo_l = expand(cg_o)
         dthp = tp * lc["sp"] * cgo_l
         dthm = tp * lc["sm"] * cgo_l
-        if irefra:
-            grads = grads_ref[pl.ds(r0, TS), :]
         if irefra in (1, 3):
-            ddphi = grads[:, 0:0 + 1]
-            ddlam_dco = grads[:, 1:1 + 1]
+            ddphi = col(PT_GRADS + 0)
+            ddlam_dco = col(PT_GRADS + 1)
             drdp = ddphi * lc["sd_p"] - ddlam_dco * lc["cd_p"]
             drdm = ddphi * lc["sd_m"] - ddlam_dco * lc["cd_m"]
             pf = pf_ref[pl.ds(r0, TS), :]
@@ -225,10 +303,10 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
             dthp = dthp + omos_l * drdp
             dthm = dthm + omos_l * drdm
         if have_cur:
-            duphi = grads[:, 2:2 + 1]
-            dvphi = grads[:, 3:3 + 1]
-            dulam_dco = grads[:, 4:4 + 1]
-            dvlam_dco = grads[:, 5:5 + 1]
+            duphi = col(PT_GRADS + 2)
+            dvphi = col(PT_GRADS + 3)
+            dulam_dco = col(PT_GRADS + 4)
+            dvlam_dco = col(PT_GRADS + 5)
             dthp = dthp + (duphi * lc["ss_p"] + dvphi * lc["sc_p"]
                            - dulam_dco * lc["sc_p"]
                            - dvlam_dco * lc["cc_p"])
@@ -246,15 +324,13 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
             pf = pf_ref[pl.ds(r0, TS), :]
             cgwav = expand(pf[:, nfre:2 * nfre])
             omoswav = expand(pf[:, 2 * nfre:3 * nfre])
-            omdd = grads[:, 6:6 + 1]
+            omdd = col(PT_GRADS + 6)
             sdot_nf = (duphi * lc["nf_sc"] + dvphi * lc["nf_cc"]
                        + dulam_dco * lc["nf_ss"]
                        + dvlam_dco * lc["nf_sc"])
             sdot = sdot_nf * cgwav + omdd * omoswav
-            sd_mp1 = (lc["m_last"] * sdot
-                      + (1.0 - lc["m_last"]) * lroll(sdot, -1))
-            sd_mm1 = (lc["m_first"] * sdot
-                      + (1.0 - lc["m_first"]) * lroll(sdot, 1))
+            sd_mp1 = shift_m(sdot, +1)
+            sd_mm1 = shift_m(sdot, -1)
             dthp_f = (sdot + sd_mp1) * lc["dfp"]
             dthm_f = (sdot + sd_mm1) * lc["dfm"]
             sumwn = sumwn + ((dthp_f + jnp.abs(dthp_f))
@@ -262,25 +338,21 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
             wm_terms = ((dthm_f + jnp.abs(dthm_f)) * fratio,
                         (-dthp_f + jnp.abs(dthp_f)) / fratio)
 
-        out = (1.0 - sumwn) * f_own
-        out = out + (w_latS * expand(obs[:, 0:nfre]) * v_latS
-                     + w_latN * expand(obs[:, nfre:2 * nfre]) * v_latN)
-        out = out + (w_lonW * expand(obs[:, 2 * nfre:3 * nfre]) * v_W
-                     + w_lonE * expand(obs[:, 3 * nfre:4 * nfre]) * v_E)
-        out = out + (w_NE * expand(obs[:, 4 * nfre:5 * nfre]) * v_corNE
-                     + w_SE * expand(obs[:, 5 * nfre:6 * nfre]) * v_corSE
-                     + w_SW * expand(obs[:, 6 * nfre:7 * nfre]) * v_corSW
-                     + w_NW * expand(obs[:, 7 * nfre:8 * nfre]) * v_corNW)
-        out = out + w_km1 * lroll(f_own, nfre)
-        out = out + w_kp1 * lroll(f_own, -nfre)
-        if wm_terms is not None:
-            f_mm1 = (lc["m_first"] * f_own
-                     + (1.0 - lc["m_first"]) * lroll(f_own, 1))
-            f_mp1 = (lc["m_last"] * f_own
-                     + (1.0 - lc["m_last"]) * lroll(f_own, -1))
-            out = out + wm_terms[0] * f_mm1 + wm_terms[1] * f_mp1
+        def ob(slot):
+            return expand(obs[:, slot * nfre:(slot + 1) * nfre])
 
-        out_ref[pl.ds(r0, TS), :] = valid[:, 0:0 + 1] * out
+        out = (1.0 - sumwn) * f_own
+        out = out + (w_latS * ob(0) * v_latS + w_latN * ob(1) * v_latN)
+        out = out + (w_lonW * ob(2) * v_W + w_lonE * ob(3) * v_E)
+        out = out + (w_NE * ob(4) * v_corNE + w_SE * ob(5) * v_corSE
+                     + w_SW * ob(6) * v_corSW + w_NW * ob(7) * v_corNW)
+        out = out + w_km1 * roll_k(f_own, -1)
+        out = out + w_kp1 * roll_k(f_own, +1)
+        if wm_terms is not None:
+            out = out + wm_terms[0] * shift_m(f_own, -1)
+            out = out + wm_terms[1] * shift_m(f_own, +1)
+
+        out_ref[pl.ds(r0, TS), :] = valid * out
         return 0
 
     jax.lax.fori_loop(0, S // TS, strip, 0)
@@ -290,41 +362,22 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
     jax.jit,
     static_argnames=("nang", "nfre", "irefra", "S", "EW", "fratio",
                      "interpret"))
-def advect_pallas(f_srl, cg_srl, dev, lc_pack, cgland_pack, dn_full,
-                  up_full, *, nang, nfre, irefra, S, EW, fratio,
+def advect_pallas(f_srl_p, tabs, *, nang, nfre, irefra, S, EW, fratio,
                   interpret=False):
     """Fused CTU advection via the Pallas kernel.
 
-    ``dn_full``/``up_full`` are (nsrl//S,) window bases covering ALL
-    blocks (pads safe); ``lc_pack`` the (len(LC_ROWS), L) lane-constant
-    pack; ``cgland_pack`` (8, nfre).  Returns the full (nsrl, L) updated
-    spectrum (pad blocks zeroed via the valid mask).
+    ``f_srl_p`` is the LANE-PADDED (nsrl, LP) spectrum (LP = 128-multiple
+    of nang·nfre, zero pad lanes); ``tabs`` the :func:`pack_tables` dict.
+    Returns the updated (nsrl, LP) spectrum (pads/wraps zeroed).
     """
     from ecwam_tpu.core import constants as c
 
-    nsrl, L = f_srl.shape
+    nsrl, LP = f_srl_p.shape
     nblocks = nsrl // S
     TS = min(32, S)
     EWG = ((EW + 2 + 7) // 8) * 8
-    dt = f_srl.dtype
-
-    taps_dn = dev["taps_dn"].reshape(nsrl, 3 * EW).astype(dt)
-    taps_up = dev["taps_up"].reshape(nsrl, 3 * EW).astype(dt)
-    obs = dev["obs"].transpose(0, 1, 2).reshape(nsrl, 8 * nfre).astype(dt)
-    sea = dev["sea_own"].astype(dt)
-    cgl = dev["cgland"].astype(dt)
-    geom = dev["geom"].astype(dt)
-    valid = dev["valid"].reshape(nsrl, 1).astype(dt)
-    uv = dev.get("uv")
-    if uv is None:
-        uv = jnp.zeros((nsrl, 2), dt)
-    grads = dev.get("grads")
-    if grads is None:
-        grads = jnp.zeros((nsrl, 8), dt)
-    pf = dev.get("pf")
-    if pf is None:
-        pf = jnp.zeros((nsrl, 3, nfre), dt)
-    pf = pf.reshape(nsrl, 3 * nfre).astype(dt)
+    dt = f_srl_p.dtype
+    NFP = tabs["cg"].shape[1]
 
     def row_spec(cols):
         return pl.BlockSpec((S, cols), lambda i, *_: (i, 0))
@@ -335,26 +388,21 @@ def advect_pallas(f_srl, cg_srl, dev, lc_pack, cgland_pack, dn_full,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),        # f_srl
             pl.BlockSpec(memory_space=pl.ANY),        # cg_srl
-            row_spec(3 * EW),                          # taps_dn
-            row_spec(3 * EW),                          # taps_up
-            row_spec(2),                               # sea_own
-            row_spec(2),                               # cgland
-            row_spec(8),                               # geom
-            row_spec(1),                               # valid
-            row_spec(8 * nfre),                        # obs
-            row_spec(2),                               # uv
-            row_spec(8),                               # grads
-            row_spec(3 * nfre),                        # pf
-            pl.BlockSpec((len(LC_ROWS), L), lambda i, *_: (0, 0)),
-            pl.BlockSpec((8, nfre), lambda i, *_: (0, 0)),
+            row_spec(tabs["taps_dn"].shape[1]),
+            row_spec(tabs["taps_up"].shape[1]),
+            row_spec(128),                             # ptab
+            row_spec(tabs["obs"].shape[1]),
+            row_spec(tabs["pf"].shape[1]),
+            pl.BlockSpec((len(LC_ROWS), LP), lambda i, *_: (0, 0)),
+            pl.BlockSpec((8, NFP), lambda i, *_: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((S, L), lambda i, *_: (i, 0)),
+        out_specs=pl.BlockSpec((S, LP), lambda i, *_: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((S + EWG, L), dt), pltpu.VMEM((S + EWG, L), dt),
-            pltpu.VMEM((S + 24, L), dt),
-            pltpu.VMEM((S + EWG, nfre), dt),
-            pltpu.VMEM((S + EWG, nfre), dt),
-            pltpu.VMEM((S + 24, nfre), dt),
+            pltpu.VMEM((S + EWG, LP), dt), pltpu.VMEM((S + EWG, LP), dt),
+            pltpu.VMEM((S + 24, LP), dt),
+            pltpu.VMEM((S + EWG, NFP), dt),
+            pltpu.VMEM((S + EWG, NFP), dt),
+            pltpu.VMEM((S + 24, NFP), dt),
             pltpu.SemaphoreType.DMA((6,)),
         ],
     )
@@ -364,7 +412,8 @@ def advect_pallas(f_srl, cg_srl, dev, lc_pack, cgland_pack, dn_full,
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nsrl, L), dt),
+        out_shape=jax.ShapeDtypeStruct((nsrl, LP), dt),
         interpret=interpret,
-    )(dn_full, up_full, f_srl, cg_srl, taps_dn, taps_up, sea, cgl, geom,
-      valid, obs, uv, grads, pf, lc_pack, cgland_pack)
+    )(tabs["dn_full"], tabs["up_full"], f_srl_p, tabs["cg"],
+      tabs["taps_dn"], tabs["taps_up"], tabs["ptab"], tabs["obs"],
+      tabs["pf"], tabs["lc"], tabs["cgland"])

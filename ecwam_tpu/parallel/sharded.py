@@ -147,6 +147,259 @@ class ShardedModel:
 
 
 
+def _build_fused_sharded(setup: ModelSetup, mesh: Mesh) -> ShardedModel:
+    """Sharded model with the FUSED propagation (memory-scalable): each
+    shard advects its SRL slice with the same fused kernel/XLA path as
+    the single chip; only the slab halo exchange is collective."""
+    from ecwam_tpu.ops import propagation_fused as pfz
+    from ecwam_tpu.parallel import fused_shard as fsh
+    from ecwam_tpu.model import fusedstep
+
+    n_shards = mesh.devices.size
+    ft = setup.fused
+    fe = setup.fused_env
+    tb = setup.tb
+    nang, nfre_red = tb.nang, tb.nfre_red
+    L = nang * nfre_red
+    dt = setup.dtype
+
+    ss = decomp.build_sharded_stencil(
+        setup.stencil, n_shards,
+        row_start=np.asarray(setup.blk.row_start))
+    need = fsh.required_halo(ft, ss.perm, ss.g2l, ss.shard_size,
+                             n_shards, np.asarray(setup.blk.kxlt))
+    if need > ss.halo:
+        ss = decomp.build_sharded_stencil(
+            setup.stencil, n_shards,
+            row_start=np.asarray(setup.blk.row_start),
+            halo=need)
+    halo = ss.halo
+    fst = fsh.build_fused_shard_tables(
+        ft, fe, ss.perm, ss.g2l, ss.shard_size, n_shards, halo,
+        np.asarray(setup.blk.kxlt))
+
+    size = ss.shard_size
+    nsrl_loc = fst.nsrl_loc
+
+    dtf = np.full(nfre_red, setup.idelpro)
+    if setup.ifrelfmax > 0:
+        dtf[: setup.ifrelfmax] = setup.delpro_lf
+    lc = {k: (jnp.asarray(v, dt) if isinstance(v, np.ndarray) else v)
+          for k, v in pfz.lane_consts(tb, dtf, nfre_red).items()}
+    nsub = (max(1, round(setup.idelpro / setup.delpro_lf))
+            if setup.ifrelfmax > 0 else 1)
+    mlf = setup.ifrelfmax
+    mw = mlf + 1 if setup.irefra in (2, 3) and mlf else mlf
+    lc_lo = None
+    if nsub > 1:
+        lc_lo = {k: (jnp.asarray(v, dt) if isinstance(v, np.ndarray)
+                     else v)
+                 for k, v in pfz.lane_consts(
+                     tb, np.full(mw, setup.delpro_lf), mw).items()}
+
+    # stacked fused tables (sharded along axis 0)
+    nblocks_loc = nsrl_loc // fst.S
+    body_bases = slice(1, 1 + fst.nseg_loc)
+    dn_body = fst.dn_full.reshape(n_shards, nblocks_loc)[:, body_bases]
+    up_body = fst.up_full.reshape(n_shards, nblocks_loc)[:, body_bases]
+    ftab = dict(
+        srl_src=fst.srl_src, valid=fst.valid,
+        taps_dn=fst.taps_dn, taps_up=fst.taps_up,
+        sea_own=fst.sea_own, cgland=fst.cgland, geom=fst.geom,
+        obs=fst.obs, cg_srl=fst.cg_srl,
+        from_srl=fst.from_srl,
+        wrap_pos=fst.wrap_pos, wrap_from=fst.wrap_from,
+        dn_base=np.ascontiguousarray(dn_body).reshape(-1),
+        up_base=np.ascontiguousarray(up_body).reshape(-1))
+    if fst.pf is not None:
+        ftab["pf"] = fst.pf
+
+    # refraction inputs (static currents; refresh re-derives)
+    def refr_tables(ucur=None, vcur=None):
+        out = {}
+        if setup.irefra in (2, 3):
+            u_ext = (np.concatenate([np.asarray(ucur, np.float64)
+                                     [:setup.n_pad], [0.0]])
+                     if ucur is not None
+                     else np.asarray(setup.env["ucur_ext"], np.float64))
+            v_ext = (np.concatenate([np.asarray(vcur, np.float64)
+                                     [:setup.n_pad], [0.0]])
+                     if vcur is not None
+                     else np.asarray(setup.env["vcur_ext"], np.float64))
+        else:
+            u_ext = v_ext = None
+        if setup.irefra:
+            zeros = np.zeros(setup.n_pad + 1)
+            g = {k: np.asarray(v, np.float64) for k, v in prop.gradi(
+                setup.stencil,
+                np.asarray(fe["depth_ext"], np.float64),
+                u_ext if u_ext is not None else zeros,
+                v_ext if v_ext is not None else zeros,
+                setup.irefra).items()}
+            dco = np.asarray(setup.stencil.cosphm1_pt, np.float64)
+            omdd = np.zeros(setup.n_pad)
+            if setup.irefra == 3:
+                omdd = (v_ext[:setup.n_pad] * g["ddphi"]
+                        + u_ext[:setup.n_pad] * g["ddlam"] * dco)
+            grads = np.zeros((setup.n_pad + 1, 8))
+            grads[:-1, 0] = g["ddphi"]
+            grads[:-1, 1] = g["ddlam"] * dco
+            grads[:-1, 2] = g["duphi"]
+            grads[:-1, 3] = g["dvphi"]
+            grads[:-1, 4] = g["dulam"] * dco
+            grads[:-1, 5] = g["dvlam"] * dco
+            grads[:-1, 6] = omdd
+            src = np.asarray(ft.srl_src)
+            out["grads"] = fsh.slice_global_srl(fst, grads[src])
+            if u_ext is not None:
+                uv = np.stack([u_ext[src], v_ext[src]], axis=-1)
+                out["uv"] = fsh.slice_global_srl(fst, uv)
+        return out
+
+    ftab.update(refr_tables())
+
+    # specs: all stacked tables shard on axis 0
+    def spec0(v):
+        return P("pts", *([None] * (np.asarray(v).ndim - 1)))
+    ftab_specs = {k: spec0(v) for k, v in ftab.items()}
+
+    env = {k: ss.to_layout(np.asarray(setup.env[k]))
+           for k in ENV_POINT_FIELDS if k in setup.env}
+    pt = P("pts")
+    specs_pt_last = P(None, None, "pts")
+
+    def spec_of(a):
+        nd = np.asarray(a).ndim
+        return P(*([None] * (nd - 1) + ["pts"])) if nd > 1 else pt
+    env_specs = {k: spec_of(v) for k, v in env.items()}
+    cg_land_j = jnp.asarray(fst.cg_land, dt)
+
+    # ---------------- local fused advection ---------------------------
+    def ext_lanes(f_lanes, halo_, land_rows):
+        """(size, L') own lanes → (2H+size+land_rows, L') local ext via
+        slab ppermute along the leading point axis."""
+        n = jax.lax.axis_size("pts")
+        fwd = [(i, i + 1) for i in range(n - 1)]
+        bwd = [(i + 1, i) for i in range(n - 1)]
+        left = jax.lax.ppermute(f_lanes[-halo_:], "pts", fwd)
+        right = jax.lax.ppermute(f_lanes[:halo_], "pts", bwd)
+        land = jnp.zeros((land_rows,) + f_lanes.shape[1:],
+                         f_lanes.dtype)
+        return jnp.concatenate([left, f_lanes, right, land], axis=0)
+
+    def adv_pass(f_own_lanes, tabs, cg_loc, lcd, cgl, nf, with_cfl=False):
+        ext = ext_lanes(f_own_lanes, halo, 1)
+        f_srl = ext[tabs["srl_src"]]
+        res = pfz.advect_xla(
+            f_srl, cg_loc, tabs, lcd, cgl,
+            nang=nang, nfre=nf, irefra=setup.irefra, S=fst.S,
+            EW=fst.EW, with_cfl=with_cfl)
+        if with_cfl:
+            return res
+        return res[tabs["from_srl"]]
+
+    def local_advect(fl1, tabs):
+        """(nang, nfre, size) → advected, all bands (fused path)."""
+        fll = jnp.transpose(fl1[:, :nfre_red], (2, 0, 1)).reshape(size, L)
+        out = adv_pass(fll, tabs, tabs["cg_srl"], lc, cg_land_j,
+                       nfre_red)
+        if nsub > 1:
+            tabs_lo = dict(tabs, obs=tabs["obs"][:, :, :mw],
+                           cg_srl=tabs["cg_srl"][:, :mw])
+            if "pf" in tabs:
+                tabs_lo["pf"] = tabs["pf"][:, :, :mw]
+            for _ in range(nsub - 1):
+                f3 = out.reshape(size, nang, nfre_red)
+                f_lo = f3[:, :, :mw].reshape(size, nang * mw)
+                f_lo = adv_pass(f_lo, tabs_lo, tabs_lo["cg_srl"],
+                                lc_lo, cg_land_j[:mw], mw)
+                f3 = f3.at[:, :, :mlf].set(
+                    f_lo.reshape(size, nang, mw)[:, :, :mlf])
+                out = f3.reshape(size, L)
+        adv = jnp.transpose(out.reshape(size, nang, nfre_red),
+                            (1, 2, 0))
+        if nfre_red < tb.nfre:
+            adv = jnp.concatenate([adv, fl1[:, nfre_red:]], axis=1)
+        return adv
+
+    # CFL current-retry mask at build time (static currents)
+    if setup.irefra in (2, 3) and "grads" in ftab:
+        def local_cfl(tabs):
+            zeros = jnp.zeros((size, L), dt)
+            _, cfl = adv_pass(zeros, tabs, tabs["cg_srl"], lc,
+                              cg_land_j, nfre_red, with_cfl=True)
+            return cfl
+        cfl_map = jax.jit(jax.shard_map(
+            local_cfl, mesh=mesh, in_specs=(ftab_specs,),
+            out_specs=P("pts"), check_vma=False))
+        ftab_dev0 = {k: jax.device_put(
+            np.asarray(v), NamedSharding(mesh, ftab_specs[k]))
+            for k, v in ftab.items()}
+        cfl = np.asarray(cfl_map(ftab_dev0))
+        mask = 1.0 - cfl.astype(np.float64)
+        ftab["grads"] = np.asarray(ftab["grads"]).copy()
+        ftab["grads"][:, 2:7] *= mask[:, None]
+
+    # ---------------- full step ---------------------------------------
+    def local_step(fl1, frc, stress, tabs, envl):
+        fl1 = local_advect(fl1, tabs)
+        fl1, state = impl.implsch(setup.phys, fl1, envl, frc, **stress)
+        return fl1, state
+
+    frc_specs = {k: pt for k in
+                 ("wswave", "wdwave", "aird", "wstar", "cicover")}
+    stress_specs = {k: pt for k in
+                    ("ufric", "tauw", "tauwdir", "z0m", "z0b", "chrnck")}
+    state_specs = {k: pt for k in (
+        "ufric", "tauw", "tauwdir", "z0m", "z0b", "chrnck", "mij",
+        "phiwa", "emean", "fmean", "f1mean", "akmean", "xkmean",
+        "emeanws", "fmeanws", "wsemean", "wsfmean",
+        "tauxd", "tauyd", "tauocxd", "tauocyd", "tauoc",
+        "phiocd", "phieps", "phiaw", "em_oc", "f1_oc",
+        "ustokes", "vstokes")}
+    if setup.phys.lstrn:
+        state_specs["strnms"] = pt
+    if setup.phys.icode_wnd in (1, 2):
+        state_specs["wswave"] = pt
+    state_specs["xllws"] = specs_pt_last
+
+    mapped = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(specs_pt_last, frc_specs, stress_specs, ftab_specs,
+                  env_specs),
+        out_specs=(specs_pt_last, state_specs), check_vma=False)
+
+    def put(tree, specs):
+        return {k: jax.device_put(np.asarray(v),
+                                  NamedSharding(mesh, specs[k]))
+                for k, v in tree.items()}
+
+    ftab_dev = put(ftab, ftab_specs)
+    env_dev = put(env, env_specs)
+    _jit_step = jax.jit(mapped)
+
+    class FusedShardedModel(ShardedModel):
+        def refresh_weights(self, ucur=None, vcur=None):
+            if ucur is not None and setup.irefra in (2, 3):
+                upd = refr_tables(ucur, vcur)
+                for k, v in upd.items():
+                    self._stencil_dev[k] = jax.device_put(
+                        np.asarray(v),
+                        NamedSharding(mesh, ftab_specs[k]))
+            self._weights = ()
+            return self._weights
+
+        def step_full(self, fl1, frc, stress):
+            return self._step(fl1, frc, stress, self._stencil_dev,
+                              self._env_dev)
+
+    return FusedShardedModel(
+        setup=setup, mesh=mesh, sharded_stencil=ss,
+        shard_spec=specs_pt_last,
+        _step=_jit_step, _compute_weights=None,
+        _stencil_dev=ftab_dev, _env_dev=env_dev, _weights=())
+
+
 def build_sharded_model(setup: ModelSetup, mesh: Mesh,
                         layout2d: tuple | None = None) -> ShardedModel:
     """Assemble the sharded step over a flattened 1-D mesh axis 'pts'.
@@ -157,6 +410,13 @@ def build_sharded_model(setup: ModelSetup, mesh: Mesh,
     ppermute per active torus direction ships exactly the points the
     neighbour's stencil reads (O(perimeter) instead of O(row) volume).
     """
+    if setup.weights_mode == "fused":
+        if layout2d is not None:
+            raise NotImplementedError(
+                "fused sharded propagation supports the 1-D row-band "
+                "decomposition; use layout2d with weights_mode='cached'")
+        return _build_fused_sharded(setup, mesh)
+
     n_shards = mesh.devices.size
     if layout2d is not None:
         nlat, nlon = layout2d
