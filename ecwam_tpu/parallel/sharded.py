@@ -60,6 +60,16 @@ def _local_stencil(args: dict, xdella: float) -> SimpleNamespace:
         obscor=jnp.moveaxis(args["obscor"], 0, 1))
 
 
+def mp_device_put(a, sharding):
+    """device_put that works across processes: each process materializes
+    only its addressable shards (no cross-process equality collective —
+    jax.device_put's multiprocess check would serialize every table
+    through a broadcast)."""
+    a = np.asarray(a)
+    return jax.make_array_from_callback(a.shape, sharding,
+                                        lambda idx: a[idx])
+
+
 def halo_exchange(f_local, halo: int, axis: str, land_col=None):
     """Build the local ext layout [H left | own | H right | land] by
     exchanging boundary slabs with both ring neighbours (ppermute).
@@ -110,7 +120,7 @@ class ShardedModel:
         a = np.asarray(arr) if layout else self.to_layout(arr, point_axis)
         spec = [None] * a.ndim
         spec[point_axis if point_axis >= 0 else a.ndim + point_axis] = "pts"
-        return jax.device_put(a, NamedSharding(self.mesh, P(*spec)))
+        return mp_device_put(a, NamedSharding(self.mesh, P(*spec)))
 
     # -- weights ------------------------------------------------------
     def refresh_weights(self, ucur=None, vcur=None):
@@ -332,7 +342,7 @@ def _build_fused_sharded(setup: ModelSetup, mesh: Mesh) -> ShardedModel:
         cfl_map = jax.jit(jax.shard_map(
             local_cfl, mesh=mesh, in_specs=(ftab_specs,),
             out_specs=P("pts"), check_vma=False))
-        ftab_dev0 = {k: jax.device_put(
+        ftab_dev0 = {k: mp_device_put(
             np.asarray(v), NamedSharding(mesh, ftab_specs[k]))
             for k, v in ftab.items()}
         cfl = np.asarray(cfl_map(ftab_dev0))
@@ -370,8 +380,8 @@ def _build_fused_sharded(setup: ModelSetup, mesh: Mesh) -> ShardedModel:
         out_specs=(specs_pt_last, state_specs), check_vma=False)
 
     def put(tree, specs):
-        return {k: jax.device_put(np.asarray(v),
-                                  NamedSharding(mesh, specs[k]))
+        return {k: mp_device_put(np.asarray(v),
+                                 NamedSharding(mesh, specs[k]))
                 for k, v in tree.items()}
 
     ftab_dev = put(ftab, ftab_specs)
@@ -383,7 +393,7 @@ def _build_fused_sharded(setup: ModelSetup, mesh: Mesh) -> ShardedModel:
             if ucur is not None and setup.irefra in (2, 3):
                 upd = refr_tables(ucur, vcur)
                 for k, v in upd.items():
-                    self._stencil_dev[k] = jax.device_put(
+                    self._stencil_dev[k] = mp_device_put(
                         np.asarray(v),
                         NamedSharding(mesh, ftab_specs[k]))
             self._weights = ()
@@ -606,8 +616,8 @@ def build_sharded_model(setup: ModelSetup, mesh: Mesh,
     # pre-place the static tables (jit args, not closure constants — large
     # constants would be embedded in the serialized HLO)
     def put(tree, specs):
-        return {k: jax.device_put(np.asarray(v),
-                                  NamedSharding(mesh, specs[k]))
+        return {k: mp_device_put(np.asarray(v),
+                                 NamedSharding(mesh, specs[k]))
                 for k, v in tree.items()}
 
     stencil_dev = put(stencil_args, stencil_specs)
