@@ -294,6 +294,22 @@ def run_model(cfg: RunConfig, rundir: str, *, dtype=None, quiet=False):
     if cfg.begin in out_dates or not out_dates:
         do_output(cfg.begin)
 
+    # signal-triggered graceful stop (wamodel.F90:317-329 LDSTOP/LDWRRE,
+    # runwam.F90:357): on SIGTERM/SIGINT finish the current advection
+    # step, write a restart + waminfo, and exit cleanly
+    import signal
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        stop_requested["flag"] = True
+    old_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            old_handlers[sig] = signal.signal(sig, _request_stop)
+        except ValueError:            # non-main thread
+            pass
+
+    stopped_early = False
     t_wall = time.perf_counter()
     step = _dt.timedelta(seconds=cfg.adv_timestep)
     date = cfg.begin
@@ -309,6 +325,24 @@ def run_model(cfg: RunConfig, rundir: str, *, dtype=None, quiet=False):
                 rundir, _fmt14(nxt), model.fl1, model.stress,
                 model.frc))
         date = nxt
+        if stop_requested["flag"]:
+            saved.append(restart_mod.save_restart(
+                rundir, _fmt14(date), model.fl1, model.stress,
+                model.frc))
+            from ecwam_tpu.io import waminfo as waminfo_mod
+            waminfo_mod.write_waminfo(
+                os.path.join(rundir, "waminfo"),
+                begin14=_fmt14(cfg.begin), end14=_fmt14(cfg.end),
+                restart_date14=_fmt14(date),
+                last_spectra_date14=_fmt14(date))
+            stopped_early = True
+            if not quiet:
+                print(f"[ecwave] signal received: wrote restart at "
+                      f"{_fmt14(date)} and stopping")
+            break
+
+    for sig, h in old_handlers.items():
+        signal.signal(sig, h)
 
     wall = time.perf_counter() - t_wall
     log_path = os.path.join(rundir, "statistics.log")
