@@ -27,15 +27,38 @@ from ecwam_tpu.core import constants as c
 WSPMIN = 1.0               # minimum wind speed (userin.F90:914-917)
 
 
-def bilinear_weights(lats, lons, plat, plon):
-    """Bilinear interpolation indices/weights from a regular lat-lon grid
-    to scattered points (grib2wgrid.F90 interpolation core).
+def rotate_coords(plat, plon, sp_lat, sp_lon):
+    """True wave-point coords → rotated-grid coords for a grid whose
+    south pole sits at (sp_lat, sp_lon) (GRIB rotated lat-lon: compute
+    the source-grid coordinates of each target point, then interpolate
+    as usual)."""
+    th = np.deg2rad(90.0 + sp_lat)          # rotation about the y-axis
+    lam = np.deg2rad(np.asarray(plon, np.float64) - sp_lon)
+    phi = np.deg2rad(np.asarray(plat, np.float64))
+    x = np.cos(phi) * np.cos(lam)
+    y = np.cos(phi) * np.sin(lam)
+    z = np.sin(phi)
+    xr = np.cos(th) * x + np.sin(th) * z
+    zr = -np.sin(th) * x + np.cos(th) * z
+    rlat = np.rad2deg(np.arcsin(np.clip(zr, -1.0, 1.0)))
+    rlon = np.rad2deg(np.arctan2(y, xr))
+    return rlat, rlon % 360.0
 
-    Longitudes are periodic; latitudes are clamped at the poles.  Returns
+
+def bilinear_weights(lats, lons, plat, plon, *, rotation=None):
+    """Bilinear interpolation indices/weights from a (possibly irregular)
+    lat-lon grid to scattered points (grib2wgrid.F90 interpolation core).
+
+    Longitudes are periodic; latitudes are clamped at the poles; both
+    axes may be non-uniformly spaced (the reference's "irregular"
+    lat-lon grids).  ``rotation=(sp_lat, sp_lon)`` interprets the source
+    grid as a rotated lat-lon grid with that south pole.  Returns
     (iy0, iy1, wy, ix0, ix1, wx) arrays over the points.
     """
     lats = np.asarray(lats, np.float64)
     lons = np.asarray(lons, np.float64)
+    if rotation is not None:
+        plat, plon = rotate_coords(plat, plon, *rotation)
     asc = lats[1] > lats[0]
     la = lats if asc else lats[::-1]
     ny, nx = len(lats), len(lons)
@@ -47,22 +70,54 @@ def bilinear_weights(lats, lons, plat, plon):
     if not asc:
         iy0, iy1 = ny - 1 - iy0, ny - 1 - iy1
 
-    dlon = (lons[1] - lons[0]) % 360.0
-    x = ((plon - lons[0]) % 360.0) / dlon
-    ix0 = np.floor(x).astype(int) % nx
+    lo = (lons - lons[0]) % 360.0
+    uniform = nx < 2 or np.allclose(np.diff(lo), lo[1] - lo[0])
+    x0 = ((np.asarray(plon, np.float64) - lons[0]) % 360.0)
+    if uniform and nx >= 2:
+        dlon = lo[1] % 360.0
+        x = x0 / dlon
+        ix0 = np.floor(x).astype(int) % nx
+        wx = x - np.floor(x)
+    else:
+        # irregular spacing: searchsorted with a periodic last cell
+        ix0 = np.clip(np.searchsorted(lo, x0, side="right") - 1,
+                      0, nx - 1)
+        span = np.where(ix0 < nx - 1, lo[(ix0 + 1) % nx] - lo[ix0],
+                        360.0 - lo[nx - 1])
+        wx = np.clip((x0 - lo[ix0]) / np.maximum(span, 1e-12), 0.0, 1.0)
     ix1 = (ix0 + 1) % nx
-    wx = x - np.floor(x)
     return iy0, iy1, wy, ix0, ix1, wx
 
 
-def interp_field(field2d, w):
+def interp_field(field2d, w, missing=None):
+    """Bilinear interpolation with the reference's missing-data rules
+    (grib2wgrid.F90:34-37): corners flagged missing fall back to the
+    CLOSEST grid point; if the closest is missing too, the average of
+    the non-missing corners; all-missing stays missing."""
     iy0, iy1, wy, ix0, ix1, wx = w
     f00 = field2d[iy0, ix0]
     f01 = field2d[iy0, ix1]
     f10 = field2d[iy1, ix0]
     f11 = field2d[iy1, ix1]
-    return ((1 - wy) * ((1 - wx) * f00 + wx * f01)
-            + wy * ((1 - wx) * f10 + wx * f11))
+    w00 = (1 - wy) * (1 - wx)
+    w01 = (1 - wy) * wx
+    w10 = wy * (1 - wx)
+    w11 = wy * wx
+    bl = w00 * f00 + w01 * f01 + w10 * f10 + w11 * f11
+    if missing is None:
+        return bl
+    vals = np.stack([f00, f01, f10, f11])
+    wmat = np.stack([w00, w01, w10, w11])
+    miss = vals == missing
+    any_miss = miss.any(axis=0)
+    nearest = np.argmax(wmat, axis=0)        # closest point overall
+    near_val = np.take_along_axis(vals, nearest[None], axis=0)[0]
+    cnt = (~miss).sum(axis=0)
+    avg = np.where(cnt > 0,
+                   np.where(miss, 0.0, vals).sum(axis=0)
+                   / np.maximum(cnt, 1), missing)
+    near_ok = ~np.take_along_axis(miss, nearest[None], axis=0)[0]
+    return np.where(~any_miss, bl, np.where(near_ok, near_val, avg))
 
 
 def reduced_to_regular(msg):

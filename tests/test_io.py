@@ -82,3 +82,63 @@ def test_products_on_synthetic_spectrum():
     np.testing.assert_allclose(p, 1.0 / tb.fr[10], rtol=0.05)
     t1 = np.asarray(products.mwp1(fl1j, tb))
     assert (np.abs(t1 - 1.0 / tb.fr[10]) / t1 < 0.1).all()
+
+
+def test_grib2wgrid_missing_data_rules():
+    """grib2wgrid.F90:34-37: bilinear unless a corner is missing, then
+    nearest grid point, then average of non-missing corners."""
+    from ecwam_tpu.io import forcing as fo
+    lats = np.array([0.0, 1.0, 2.0, 3.0])
+    lons = np.array([0.0, 1.0, 2.0, 3.0])
+    f = np.arange(16.0).reshape(4, 4)
+    MISS = -9e9
+    w = fo.bilinear_weights(lats, lons, np.array([0.25]), np.array([0.25]))
+    # clean corners: plain bilinear
+    v = fo.interp_field(f, w, missing=MISS)
+    exp = fo.interp_field(f, w)
+    np.testing.assert_allclose(v, exp)
+    # nearest fallback: one far corner missing
+    f2 = f.copy(); f2[1, 1] = MISS
+    v2 = fo.interp_field(f2, w, missing=MISS)
+    np.testing.assert_allclose(v2, f2[0, 0])   # nearest = (0,0) corner
+    # average fallback: nearest corner missing too
+    f3 = f.copy(); f3[0, 0] = MISS
+    w3 = fo.bilinear_weights(lats, lons, np.array([0.1]), np.array([0.1]))
+    v3 = fo.interp_field(f3, w3, missing=MISS)
+    np.testing.assert_allclose(v3, (f3[0, 1] + f3[1, 0] + f3[1, 1]) / 3.0)
+    # all four missing stays missing
+    f4 = np.full_like(f, MISS)
+    v4 = fo.interp_field(f4, w, missing=MISS)
+    np.testing.assert_allclose(v4, MISS)
+
+
+def test_grib2wgrid_irregular_and_rotated():
+    from ecwam_tpu.io import forcing as fo
+    # irregular longitudes: interpolation must still be exact for a
+    # linear-in-lon field
+    lats = np.array([0.0, 1.0, 2.0])
+    lons = np.array([0.0, 0.5, 2.0, 5.0])
+    f = np.broadcast_to(lons, (3, 4)).copy()
+    w = fo.bilinear_weights(lats, lons, np.array([1.0, 1.0]),
+                            np.array([1.25, 3.5]))
+    np.testing.assert_allclose(fo.interp_field(f, w), [1.25, 3.5])
+
+    # rotated grid: with the south pole at (-90, 0) the rotation is the
+    # identity; a generic pole must round-trip a linear field sampled in
+    # rotated coords
+    rlat, rlon = fo.rotate_coords(np.array([10.0]), np.array([20.0]),
+                                  -90.0, 0.0)
+    np.testing.assert_allclose(rlat, [10.0], atol=1e-12)
+    np.testing.assert_allclose(rlon, [20.0], atol=1e-12)
+
+    sp = (-60.0, 15.0)
+    plat = np.array([5.0, -12.0, 40.0])
+    plon = np.array([10.0, 100.0, 250.0])
+    rlat, rlon = fo.rotate_coords(plat, plon, *sp)
+    lats_r = np.linspace(-89.0, 89.0, 179)
+    lons_r = np.arange(0.0, 360.0, 1.0)
+    fld = (np.broadcast_to(lats_r[:, None], (179, 360))
+           + 0.0 * lons_r[None, :])
+    w = fo.bilinear_weights(lats_r, lons_r, plat, plon, rotation=sp)
+    got = fo.interp_field(fld, w)
+    np.testing.assert_allclose(got, rlat, atol=1e-2)
