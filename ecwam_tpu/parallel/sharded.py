@@ -105,6 +105,7 @@ class ShardedModel:
     _stencil_dev: dict = dataclasses.field(repr=False, default=None)
     _env_dev: dict = dataclasses.field(repr=False, default=None)
     _weights: object = dataclasses.field(repr=False, default=None)
+    _norms_dev: object = dataclasses.field(repr=False, default=None)
 
     # -- layout mapping -----------------------------------------------
     def to_layout(self, arr, point_axis: int = -1):
@@ -155,6 +156,39 @@ class ShardedModel:
         return dict(average=float(v.mean()), minimum=float(v.min()),
                     maximum=float(v.max()), count=int(v.size))
 
+    def norms_device(self, field_layout):
+        """Device-side psum/pmin/pmax norms over the real sea points —
+        the reference's non-global monitoring mode (mpminmaxavg.F90:44
+        with LLNORMWAMOUT_GLOBAL=.FALSE.): no host gather, one scalar
+        tuple per call; not bit-reproducible across shard counts."""
+        if self._norms_dev is None:
+            raise NotImplementedError("no device-norms path built")
+        tot, cnt, mn, mx = self._norms_dev(field_layout)
+        cnt = float(cnt)
+        return dict(average=float(tot) / max(cnt, 1.0),
+                    minimum=float(mn), maximum=float(mx),
+                    count=int(cnt))
+
+
+
+def _make_norms_device(mesh, ss, n_real, dtype):
+    """Jitted psum-tree norms over real points of a sharded layout."""
+    mask = ((ss.perm >= 0) & (ss.perm < n_real)).astype(np.float64)
+    mask_dev = mp_device_put(mask.astype(dtype),
+                             NamedSharding(mesh, P("pts")))
+
+    def local(f, m):
+        big = jnp.asarray(np.finfo(np.float32).max, f.dtype)
+        tot = jax.lax.psum(jnp.sum(f * m), "pts")
+        cnt = jax.lax.psum(jnp.sum(m), "pts")
+        mn = jax.lax.pmin(jnp.min(jnp.where(m > 0, f, big)), "pts")
+        mx = jax.lax.pmax(jnp.max(jnp.where(m > 0, f, -big)), "pts")
+        return tot, cnt, mn, mx
+
+    mapped = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P("pts"), P("pts")),
+        out_specs=(P(), P(), P(), P()), check_vma=False))
+    return lambda f: mapped(f, mask_dev)
 
 
 def _build_fused_sharded(setup: ModelSetup, mesh: Mesh) -> ShardedModel:
@@ -407,7 +441,9 @@ def _build_fused_sharded(setup: ModelSetup, mesh: Mesh) -> ShardedModel:
         setup=setup, mesh=mesh, sharded_stencil=ss,
         shard_spec=specs_pt_last,
         _step=_jit_step, _compute_weights=None,
-        _stencil_dev=ftab_dev, _env_dev=env_dev, _weights=())
+        _stencil_dev=ftab_dev, _env_dev=env_dev, _weights=(),
+        _norms_dev=_make_norms_device(mesh, ss, setup.n_real,
+                                      setup.dtype))
 
 
 def build_sharded_model(setup: ModelSetup, mesh: Mesh,
@@ -629,4 +665,6 @@ def build_sharded_model(setup: ModelSetup, mesh: Mesh,
         setup=setup, mesh=mesh, sharded_stencil=ss,
         shard_spec=specs_pt_last,
         _step=_jit_step, _compute_weights=jit_weights,
-        _stencil_dev=stencil_dev, _env_dev=env_dev)
+        _stencil_dev=stencil_dev, _env_dev=env_dev,
+        _norms_dev=_make_norms_device(mesh, ss, setup.n_real,
+                                      setup.dtype))

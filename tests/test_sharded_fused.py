@@ -77,3 +77,22 @@ def test_sharded_fused_nproc_invariance(config):
         np.testing.assert_allclose(
             got, ref, rtol=1e-11, atol=1e-11 * max(ref.max(), 1e-30),
             err_msg=f"n_shards={n_shards} config={config}")
+
+
+def test_device_norms_match_host_norms():
+    """psum-tree monitoring norms (mpminmaxavg.F90 non-global mode) vs
+    the reproducible gather-to-host path."""
+    ms = _build()
+    fl1, frc, stress = _inputs(ms)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pts",))
+    sm = sharded.build_sharded_model(ms, mesh)
+    from ecwam_tpu.ops.physics import means as means_mod
+    swh = 4.0 * np.sqrt(np.asarray(means_mod.semean(fl1, ms.tb)))
+    swh_dev = sm.device_put(swh)
+    host = sm.norms(np.asarray(swh_dev))
+    dev = sm.norms_device(swh_dev)
+    assert dev["count"] == host["count"]
+    np.testing.assert_allclose(dev["average"], host["average"],
+                               rtol=1e-12)
+    np.testing.assert_allclose(dev["minimum"], host["minimum"])
+    np.testing.assert_allclose(dev["maximum"], host["maximum"])
