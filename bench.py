@@ -77,9 +77,12 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=29,
     from ecwam_tpu.model import preset, stepper as stepper_mod
     from ecwam_tpu.model.fusedstep import FusedPropagation
 
-    chunk = 8192
     log(f"building {grid_name} (fused)")
     t0 = time.time()
+    # larger physics chunks amortize the lax.map dispatch; pad_to=chunk
+    # keeps the chunk count integral
+    chunk = 32768 if grid_name in ("O320", "O400", "O512", "O640") \
+        else 8192
     ms = setup_mod.build_model(
         grid_name=grid_name, nang=nang, nfre=nfre,
         idelpro=idelpro, idelt=idelt, pad_to=chunk, dtype=jnp.float32,
@@ -102,7 +105,12 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=29,
         aird=jnp.full(n, 1.225, ms.dtype),
         wstar=jnp.zeros(n, ms.dtype),
         cicover=jnp.zeros(n, ms.dtype))
-    stress = stepper_mod.initial_stress(ms, frc)
+    log("forcing on device")
+    # host forcing into initial_stress: device->host pulls through an
+    # accelerator relay cost minutes each
+    frc_h = dict(wswave=wswave, wdwave=wdwave)
+    stress = stepper_mod.initial_stress(ms, frc_h)
+    log("stress on device")
     env = {k: ms.env[k] for k in stepper_mod.ENV_KEYS}
 
     # initial state built HOST-SIDE directly in the SRL layout: one
