@@ -36,12 +36,24 @@ import time
 import traceback
 
 
+_PROBE = None
+
+
 def sync(jax, jnp, x):
     """Force full synchronization (incl. the axon relay: device_get of a
-    scalar cannot return before the producing computation finished)."""
+    scalar cannot return before the producing computation finished).
+
+    The probe MUST be jitted: an eager ``jnp.ravel(x)[0]`` on a relay-
+    attached device remote-compiles + materializes the full array
+    (~190 s for a 600 MB array, ~30 min at O512 sizes — the round-3
+    "hang"); the jitted slice compiles once per shape and returns 4 B.
+    """
+    global _PROBE
+    if _PROBE is None:
+        _PROBE = jax.jit(lambda a: a.reshape(-1)[0])
     jax.block_until_ready(x)
     leaf = jax.tree.leaves(x)[0]
-    return float(jax.device_get(jnp.ravel(leaf)[0]))
+    return float(jax.device_get(_PROBE(leaf)))
 
 
 def measure_stream_bw(jax, jnp, nbytes=2 << 30):
