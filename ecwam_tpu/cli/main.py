@@ -17,6 +17,7 @@ import argparse
 import datetime as _dt
 import json
 import os
+import re
 import sys
 import time
 
@@ -130,6 +131,22 @@ def _forcing_provider(cfg: RunConfig, ms, rundir: str):
     return ff.provider(lat, lon)
 
 
+
+def load_config(path: str) -> RunConfig:
+    """Load a run config from YAML or a Fortran namelist (MPUSERIN
+    surface): a file containing an &NALINE group is parsed by
+    config.namelist; anything else by the YAML schema."""
+    try:
+        with open(path) as f:
+            text = f.read()
+    except OSError:
+        text = path
+    if re.search(r"&NALINE\b", text, re.IGNORECASE):
+        from ecwam_tpu.config import namelist as _nml
+        return _nml.namelist_to_config(text).run
+    return RunConfig.from_yaml(path)
+
+
 def cmd_preproc(args):
     """Grid/bathymetry preprocessing → wam_grid_tables.npz equivalent.
 
@@ -137,7 +154,7 @@ def cmd_preproc(args):
     sub-grid obstruction tables (preproc.F90 TOPOAR/MGRID/MUBUF chain).
     Hard-fails when the requested bathymetry input is missing.
     """
-    cfg = RunConfig.from_yaml(args.config)
+    cfg = load_config(args.config)
     b, obs = _resolve_bathymetry(cfg, args.rundir)
     ms = _build_model(cfg, rundir=args.rundir)
     os.makedirs(args.rundir, exist_ok=True)
@@ -165,7 +182,7 @@ def cmd_preset(args):
     from ecwam_tpu.model.setup import pad_point_field
     import jax.numpy as jnp
 
-    cfg = RunConfig.from_yaml(args.config)
+    cfg = load_config(args.config)
     ms = _build_model(cfg, rundir=args.rundir)
     provider = _forcing_provider(cfg, ms, args.rundir)
     date14 = _fmt14(cfg.begin)
@@ -357,7 +374,7 @@ def run_model(cfg: RunConfig, rundir: str, *, dtype=None, quiet=False):
 
 
 def cmd_run(args):
-    cfg = RunConfig.from_yaml(args.config)
+    cfg = load_config(args.config)
     _, log = run_model(cfg, args.rundir)
     if args.validate:
         return _validate(cfg, log.entries)
@@ -381,7 +398,7 @@ def _validate(cfg: RunConfig, entries) -> int:
 
 def cmd_validate(args):
     from ecwam_tpu.io import norms as norms_mod
-    cfg = RunConfig.from_yaml(args.config)
+    cfg = load_config(args.config)
     entries = []
     with open(os.path.join(args.rundir, "statistics.log")) as f:
         for line in f:
