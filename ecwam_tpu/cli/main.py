@@ -243,6 +243,23 @@ def run_model(cfg: RunConfig, rundir: str, *, dtype=None, quiet=False):
     model = driver_mod.WaveModel(ms, provider, cfg.begin, fl1=fl1,
                                  stress=stress)
 
+    # CHECKCFL role (checkcfl.F90:74-210, called from the propagation
+    # setup): validate the Courant numbers once per weight refresh and
+    # abort with the reference's remedy when violated
+    if getattr(model.steps, "cfl_diagnostics", None):
+        diag = model.steps.cfl_diagnostics()
+        if not quiet:
+            print(f"[ecwave] CFL: x={diag['cfl_east_west']:.3f} "
+                  f"y={diag['cfl_north_south']:.3f} "
+                  f"outflow={diag['max_outflow']:.3f} "
+                  f"violations={diag['n_violations']}")
+        if diag["n_violations"]:
+            raise RuntimeError(
+                "CFL-CRITERION NOT FULFILLED FOR PROPAGATION "
+                f"({diag['n_violations']} points, max outflow "
+                f"{diag['max_outflow']:.3f}) - REDUCE IDELPRO "
+                "ACCORDINGLY (checkcfl.F90)")
+
     out_dates = set(cfg.output_dates())
     frc_dates = set(cfg.forcing_dates())
     rst_dates = set(cfg.restart_times)

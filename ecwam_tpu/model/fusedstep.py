@@ -193,6 +193,23 @@ class FusedPropagation:
                 bundle["pk_lo"] = tabs_lo
             self.bundle = bundle
 
+
+    def cfl_diagnostics(self) -> dict:
+        """CHECKCFL equivalent (checkcfl.F90:74-210): largest Courant
+        numbers of the east/west, north/south and total-outflow terms
+        plus the violating-point count.  With current refraction the
+        offending current terms were already zeroed by the CFL retry
+        (LLCFLCUROFF role), so remaining violations are genuine
+        reduce-IDELPRO errors."""
+        _, cfl, (rx, ry, rs) = _advect_xla_srl(
+            self, jnp.zeros((self.ft.nsrl, self.L), self.dtype),
+            self.bundle, with_cfl="stats")
+        return dict(
+            cfl_east_west=float(np.asarray(rx)),
+            cfl_north_south=float(np.asarray(ry)),
+            max_outflow=float(np.asarray(rs)),
+            n_violations=int(np.asarray(jnp.sum(cfl))))
+
     # -- pure steps (jit these with bundle as an argument) -------------
     def to_srl(self, fl1, bundle):
         """Compact (nang, nfre, n_pad) spectrum → SRL (nsrl, L[P])."""

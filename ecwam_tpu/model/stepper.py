@@ -246,11 +246,14 @@ class StepBundle:
     recomputed every step so only the env updates).
     """
 
-    def __init__(self, step_full, step_adv, step_phys, refresh_currents):
+    def __init__(self, step_full, step_adv, step_phys, refresh_currents,
+                 cfl_diagnostics=None):
         self.step_full = step_full
         self.step_adv = step_adv
         self.step_phys = step_phys
         self.refresh_currents = refresh_currents
+        # CHECKCFL-role diagnostics hook (fused mode), else None
+        self.cfl_diagnostics = cfl_diagnostics
 
     def __iter__(self):
         return iter((self.step_full, self.step_adv, self.step_phys))
@@ -305,7 +308,8 @@ def make_step(setup: ModelSetup):
             fp.refresh(np.asarray(uc), np.asarray(vc))
 
         return StepBundle(step_full, step_adv, step_phys,
-                          refresh_currents)
+                          refresh_currents,
+                          cfl_diagnostics=fp.cfl_diagnostics)
 
     if setup.weights_mode == "otf":
         @jax.jit

@@ -619,6 +619,13 @@ def segment_advect(f_own, f_dn_win, f_up_win, f_own_win,
     bad = ((jnp.maximum(adx_w, adx_e) > z)
            | (jnp.maximum(ady_s, ady_n) > xdella)
            | (sumwn > 1.0) | (sumwn < 0.0))
+    if with_cfl == "stats":
+        # CHECKCFL-role diagnostics (checkcfl.F90:74-210): the largest
+        # east/west, north/south and total-outflow Courant numbers
+        ratio_x = jnp.max(jnp.maximum(adx_w, adx_e) / z, axis=-1)
+        ratio_y = jnp.max(jnp.maximum(ady_s, ady_n) / xdella, axis=-1)
+        return out, jnp.any(bad, axis=-1), \
+            (ratio_x, ratio_y, jnp.max(sumwn, axis=-1))
     return out, jnp.any(bad, axis=-1)
 
 
@@ -694,7 +701,10 @@ def advect_xla(f_srl, cg_srl, dev, lc, cg_land_lane, *,
             with_cfl=with_cfl)
 
     res = jax.lax.map(one_chunk, xs)
-    if with_cfl:
+    stats = None
+    if with_cfl == "stats":
+        out, cfl, stats = res
+    elif with_cfl:
         out, cfl = res
     else:
         out, cfl = res, None
@@ -703,10 +713,16 @@ def advect_xla(f_srl, cg_srl, dev, lc, cg_land_lane, *,
     zeros_f = jnp.zeros((S, L), out.dtype)
     out = jnp.concatenate([zeros_f, out, zeros_f, zeros_f], axis=0)
     if with_cfl:
+        valid = dev["valid"][body] > 0
         cfl = cfl.reshape(-1)[:nseg * S]
         cfl = jnp.concatenate(
-            [jnp.zeros(S, bool), cfl & (dev["valid"][body] > 0),
+            [jnp.zeros(S, bool), cfl & valid,
              jnp.zeros(2 * S, bool)])
+        if stats is not None:
+            stats = tuple(
+                jnp.max(jnp.where(valid, s.reshape(-1)[:nseg * S], 0.0))
+                for s in stats)
+            return out, cfl, stats
         return out, cfl
     return out
 

@@ -162,3 +162,25 @@ def test_cli_load_config_sniffs_namelist(tmp_path):
     f.write_text(REFERENCE_STYLE)
     run = load_config(str(f))
     assert run.adv_timestep == 450.0 and run.directions == 24
+
+
+def test_cfl_diagnostics_fused(tmp_path):
+    """CHECKCFL role: healthy config reports zero violations; a huge
+    timestep is caught with the reference's remedy message."""
+    import jax.numpy as jnp
+    from ecwam_tpu.model import setup as setup_mod
+    from ecwam_tpu.model import stepper as stepper_mod
+
+    ms = setup_mod.build_model(grid_name="12.0", nang=12, nfre=25,
+                               idelpro=900.0, idelt=900.0,
+                               weights_mode="fused", dtype=jnp.float64)
+    sb = stepper_mod.make_step(ms)
+    diag = sb.cfl_diagnostics()
+    assert diag["n_violations"] == 0
+    assert 0.0 < diag["max_outflow"] <= 1.0
+
+    ms2 = setup_mod.build_model(grid_name="12.0", nang=12, nfre=25,
+                                idelpro=90000.0, idelt=90000.0,
+                                weights_mode="fused", dtype=jnp.float64)
+    sb2 = stepper_mod.make_step(ms2)
+    assert sb2.cfl_diagnostics()["n_violations"] > 0
