@@ -91,10 +91,11 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=29,
 
     log(f"building {grid_name} (fused)")
     t0 = time.time()
-    # larger physics chunks amortize the lax.map dispatch; pad_to=chunk
-    # keeps the chunk count integral
-    chunk = 32768 if grid_name in ("O320", "O400", "O512", "O640") \
-        else 8192
+    # physics chunk: the implsch intermediates are ~30 arrays of
+    # (chunk, L) — 32768 chunks cost ~4 GB of peak HBM, which is what
+    # the 1M-point shapes cannot spare; 8192 bounds them at ~1 GB and
+    # the on-device lax.map loop has no host dispatch to amortize
+    chunk = 8192
     ms = setup_mod.build_model(
         grid_name=grid_name, nang=nang, nfre=nfre,
         idelpro=idelpro, idelt=idelt, pad_to=chunk, dtype=jnp.float32,
@@ -145,7 +146,9 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=29,
     del f_srl_np
     log(f"pushed in {time.time()-t0:.0f}s")
 
-    @jax.jit
+    # donate: without aliasing, wrap-refresh + kernel output hold THREE
+    # SRL copies live (16.7 GB at O512 — the round-3 OOM)
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def adv_srl(f_srl, bundle):
         return fp.advect_srl(f_srl, bundle)
 
@@ -254,6 +257,21 @@ def main():
             errors[grid_name] = repr(e)
             log(f"{grid_name} failed: {e!r}")
             traceback.print_exc(file=sys.stderr)
+            # HARD-release device memory: the exception traceback pins
+            # the failed rung's frames (and their device arrays), so
+            # without this every later rung inherits the OOM
+            e.__traceback__ = None
+            del e
+            sys.last_traceback = None
+            import gc
+            gc.collect()
+            try:
+                import jax
+                jax.clear_caches()
+                for buf in jax.live_arrays():
+                    buf.delete()
+            except Exception as e2:  # noqa: BLE001
+                log(f"device cleanup failed: {e2!r}")
             continue
     # absolute last resort: still emit a valid JSON line
     print(json.dumps({

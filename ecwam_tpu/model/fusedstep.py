@@ -58,7 +58,8 @@ class FusedPropagation:
         self.backend = backend or default_backend(dt)
         self.interpret = interpret
 
-        dev = pfz.device_tables(ft, dt)
+        dev = pfz.device_tables(ft, dt,
+                                weights=(self.backend != 'pallas'))
         fs = np.asarray(ft.from_srl)
         pad = np.full(setup.n_pad - ft.npts, fs[0] if fs.size else 0,
                       fs.dtype)
@@ -149,7 +150,7 @@ class FusedPropagation:
             # terms wherever the first-pass CFL check fails
             _, cfl = _advect_xla_srl(
                 self, jnp.zeros((self.ft.nsrl, self.L), self.dtype),
-                self.bundle, with_cfl=True)
+                self._xla_bundle(), with_cfl=True)
             mask = 1.0 - np.asarray(cfl, np.float64)
             grads_np = grads_np.copy()
             grads_np[:, 2:7] *= mask[:, None]
@@ -194,6 +195,19 @@ class FusedPropagation:
             self.bundle = bundle
 
 
+
+    def _xla_bundle(self):
+        """A bundle with the full XLA weight tables — the Pallas-backend
+        bundle omits them (HBM) — for CFL diagnostics / retry passes."""
+        if self.backend != "pallas":
+            return self.bundle
+        dev = dict(pfz.device_tables(self.ft, self.dtype, weights=True))
+        dev.update({k: v for k, v in self.bundle["dev"].items()
+                    if k not in dev})
+        if self.setup.irefra:
+            dev["pf"] = jnp.asarray(self.fe["pf"], self.dtype)
+        return dict(self.bundle, dev=dev)
+
     def cfl_diagnostics(self) -> dict:
         """CHECKCFL equivalent (checkcfl.F90:74-210): largest Courant
         numbers of the east/west, north/south and total-outflow terms
@@ -203,7 +217,7 @@ class FusedPropagation:
         reduce-IDELPRO errors."""
         _, cfl, (rx, ry, rs) = _advect_xla_srl(
             self, jnp.zeros((self.ft.nsrl, self.L), self.dtype),
-            self.bundle, with_cfl="stats")
+            self._xla_bundle(), with_cfl="stats")
         return dict(
             cfl_east_west=float(np.asarray(rx)),
             cfl_north_south=float(np.asarray(ry)),

@@ -727,23 +727,31 @@ def advect_xla(f_srl, cg_srl, dev, lc, cg_land_lane, *,
     return out
 
 
-def device_tables(ft: FusedTables, dtype) -> dict:
+def device_tables(ft: FusedTables, dtype, *, weights: bool = True) -> dict:
     """FusedTables → device array dict for :func:`advect_xla` /
-    the Pallas kernel (static parts only; uv/grads/pf added by caller)."""
-    return dict(
+    the Pallas kernel (static parts only; uv/grads/pf added by caller).
+
+    ``weights=False`` pushes only the index/layout tables (what the
+    Pallas backend needs between kernel calls: wrap refresh + layout
+    gathers); the float weight tables live in the packed kernel tables
+    instead — duplicating them costs ~1.8 GB at O512 shapes."""
+    out = dict(
         srl_src=jnp.asarray(ft.srl_src, jnp.int32),
         from_srl=jnp.asarray(ft.from_srl, jnp.int32),
         valid=jnp.asarray(ft.valid, dtype),
         wrap_pos=jnp.asarray(ft.wrap_pos, jnp.int32),
         wrap_from=jnp.asarray(ft.wrap_from, jnp.int32),
         dn_base=jnp.asarray(ft.dn_base, jnp.int32),
-        up_base=jnp.asarray(ft.up_base, jnp.int32),
-        taps_dn=jnp.asarray(ft.taps_dn, dtype),
-        taps_up=jnp.asarray(ft.taps_up, dtype),
-        sea_own=jnp.asarray(ft.sea_own, dtype),
-        cgland=jnp.asarray(ft.cgland, dtype),
-        geom=jnp.asarray(ft.geom, dtype),
-        obs=jnp.asarray(ft.obs, dtype))
+        up_base=jnp.asarray(ft.up_base, jnp.int32))
+    if weights:
+        out.update(
+            taps_dn=jnp.asarray(ft.taps_dn, dtype),
+            taps_up=jnp.asarray(ft.taps_up, dtype),
+            sea_own=jnp.asarray(ft.sea_own, dtype),
+            cgland=jnp.asarray(ft.cgland, dtype),
+            geom=jnp.asarray(ft.geom, dtype),
+            obs=jnp.asarray(ft.obs, dtype))
+    return out
 
 
 def refresh_wraps(f_srl, dev):

@@ -71,13 +71,18 @@ def pack_tables(ft_dev_np: dict, lc_np: dict, cg_srl_np, cg_land_np,
     if "grads" in ft_dev_np:
         ptab[:, PT_GRADS:PT_GRADS + 8] = np.asarray(ft_dev_np["grads"])
 
-    taps_dn = _pad128(np.asarray(ft_dev_np["taps_dn"]).reshape(nsrl, -1))
-    taps_up = _pad128(np.asarray(ft_dev_np["taps_up"]).reshape(nsrl, -1))
+    # one packed tap table [dn(3*EW) | up(3*EW)] — two separately
+    # 128-padded tables would waste ~0.6 GB at O512 shapes
+    taps = _pad128(np.concatenate(
+        [np.asarray(ft_dev_np["taps_dn"]).reshape(nsrl, -1),
+         np.asarray(ft_dev_np["taps_up"]).reshape(nsrl, -1)], axis=1))
     obs = _pad128(np.asarray(ft_dev_np["obs"]).reshape(nsrl, -1))
     if "pf" in ft_dev_np and ft_dev_np["pf"] is not None:
         pf = _pad128(np.asarray(ft_dev_np["pf"]).reshape(nsrl, -1))
     else:
-        pf = np.zeros((nsrl, 128))
+        # never read (irefra gates): a token block, not an (nsrl, 128)
+        # zero tensor (0.6 GB at O512)
+        pf = np.zeros((8, 128))
     cg = _pad128(np.asarray(cg_srl_np))
     cgland = np.zeros((8, cg.shape[1]))
     cgland[0, :nfre] = np.asarray(cg_land_np)
@@ -94,8 +99,7 @@ def pack_tables(ft_dev_np: dict, lc_np: dict, cg_srl_np, cg_land_np,
 
     return dict(
         ptab=jnp.asarray(ptab, dtype),
-        taps_dn=jnp.asarray(taps_dn, dtype),
-        taps_up=jnp.asarray(taps_up, dtype),
+        taps=jnp.asarray(taps, dtype),
         obs=jnp.asarray(obs, dtype),
         pf=jnp.asarray(pf, dtype),
         cg=jnp.asarray(cg, dtype),
@@ -106,7 +110,7 @@ def pack_tables(ft_dev_np: dict, lc_np: dict, cg_srl_np, cg_land_np,
 
 
 def _kernel(dn_ref, up_ref,                        # scalar prefetch
-            f_hbm, cg_hbm, taps_dn_ref, taps_up_ref, ptab_ref,
+            f_hbm, cg_hbm, taps_ref, ptab_ref,
             obs_ref, pf_ref, lc_ref, cgland_ref,
             out_ref,
             wf_dn, wf_up, wf_ow, wc_dn, wc_up, wc_ow, sems,
@@ -175,8 +179,7 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
         cow = wc_ow[pl.ds(r0, TS + 16), :]
 
         f_own = wow[8:TS + 8, :]
-        taps_dn = taps_dn_ref[pl.ds(r0, TS), :]
-        taps_up = taps_up_ref[pl.ds(r0, TS), :]
+        taps = taps_ref[pl.ds(r0, TS), :]
         pt = ptab_ref[pl.ds(r0, TS), :]
         obs = obs_ref[pl.ds(r0, TS), :]
 
@@ -186,8 +189,7 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
         def fir(win, field):
             acc = None
             for e in range(EW):
-                t = taps_dn if field < 3 else taps_up
-                tap = t[:, (field % 3) * EW + e].reshape(TS, 1)
+                tap = taps[:, field * EW + e].reshape(TS, 1)
                 v = win[e:e + TS, :]
                 acc = tap * v if acc is None else acc + tap * v
             return acc
@@ -382,17 +384,18 @@ def advect_pallas(f_srl_p, tabs, *, nang, nfre, irefra, S, EW, fratio,
     def row_spec(cols):
         return pl.BlockSpec((S, cols), lambda i, *_: (i, 0))
 
+    pf_full = tabs["pf"].shape[0] == nsrl
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),        # f_srl
             pl.BlockSpec(memory_space=pl.ANY),        # cg_srl
-            row_spec(tabs["taps_dn"].shape[1]),
-            row_spec(tabs["taps_up"].shape[1]),
+            row_spec(tabs["taps"].shape[1]),
             row_spec(128),                             # ptab
             row_spec(tabs["obs"].shape[1]),
-            row_spec(tabs["pf"].shape[1]),
+            (row_spec(tabs["pf"].shape[1]) if pf_full
+             else pl.BlockSpec((8, 128), lambda i, *_: (0, 0))),
             pl.BlockSpec((len(LC_ROWS), LP), lambda i, *_: (0, 0)),
             pl.BlockSpec((8, NFP), lambda i, *_: (0, 0)),
         ],
@@ -415,5 +418,5 @@ def advect_pallas(f_srl_p, tabs, *, nang, nfre, irefra, S, EW, fratio,
         out_shape=jax.ShapeDtypeStruct((nsrl, LP), dt),
         interpret=interpret,
     )(tabs["dn_full"], tabs["up_full"], f_srl_p, tabs["cg"],
-      tabs["taps_dn"], tabs["taps_up"], tabs["ptab"], tabs["obs"],
+      tabs["taps"], tabs["ptab"], tabs["obs"],
       tabs["pf"], tabs["lc"], tabs["cgland"])
