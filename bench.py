@@ -161,6 +161,21 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=29,
                                                   stress)
         return fp.to_srl(fl1, bundle), state
 
+    def xla_bytes(jfn, *args):
+        """XLA cost-analysis 'bytes accessed' (audits the hand model;
+        NaN when unavailable; Pallas custom-call internals are NOT
+        counted, so this can undercount the fused kernel)."""
+        try:
+            absargs = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+                if hasattr(a, "shape") else a, args)
+            ca = jfn.lower(*absargs).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0] if ca else {}
+            return float(ca.get("bytes accessed", float("nan")))
+        except Exception:  # noqa: BLE001
+            return float("nan")
+
     bundle = fp.bundle
     log("compiling advection")
     t0 = time.time()
@@ -233,6 +248,9 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=29,
         "stream_bw_bytes_per_s": bw,
         "model_bytes_per_adv_step": adv_bytes,
         "model_bytes_per_phys_step": phys_bytes,
+        "xla_bytes_per_adv_step": xla_bytes(adv_srl, f_srl, bundle),
+        "xla_bytes_per_phys_step": xla_bytes(
+            phys_srl, f_srl, frc, stress, env, bundle),
         "bytes_per_bin_adv": adv_bytes / bins,
     }
 

@@ -260,6 +260,32 @@ def run_model(cfg: RunConfig, rundir: str, *, dtype=None, quiet=False):
                 f"{diag['max_outflow']:.3f}) - REDUCE IDELPRO "
                 "ACCORDINGLY (checkcfl.F90)")
 
+    # boundary nesting (IBOUNC/IBOUNF roles): coarse side collects
+    # boundary spectra at output dates (OUTBC), fine side overwrites its
+    # rim from the coarse file each step (BOUINPT)
+    nest = (cfg.raw.get("nesting") or {}) if isinstance(cfg.raw, dict) \
+        else {}
+    bc_writer = bc_file = fine_tab = None
+    if nest.get("coarse"):
+        from ecwam_tpu.model import nesting as nesting_mod
+        rect = [float(x) for x in nest["coarse"]["rect"]]
+        cb = nesting_mod.coarse_boundary(ms.grid, ms.blk, *rect)
+        bc_writer = nesting_mod.BoundaryWriter(cb, ms.tb)
+        if not quiet:
+            print(f"[ecwave] coarse nesting: {cb.idx.size} boundary "
+                  "points (MBOUNC)")
+    if nest.get("fine"):
+        from ecwam_tpu.model import nesting as nesting_mod
+        path = nest["fine"]["file"]
+        if not os.path.isabs(path):
+            path = os.path.join(rundir, path)
+        bc_file = nesting_mod.BoundaryFile(path, ms.tb)
+        fine_tab = nesting_mod.fine_boundary(
+            ms.grid, ms.blk, bc_file.coarse_boundary())
+        if not quiet:
+            print(f"[ecwave] fine nesting: {fine_tab.idx.size} rim "
+                  f"points from {path} (MBOUNF)")
+
     out_dates = set(cfg.output_dates())
     frc_dates = set(cfg.forcing_dates())
     rst_dates = set(cfg.restart_times)
@@ -350,10 +376,15 @@ def run_model(cfg: RunConfig, rundir: str, *, dtype=None, quiet=False):
     while date < cfg.end:
         nxt = date + step
         model.advance(1)
+        if bc_file is not None:
+            model.fl1 = nesting_mod.apply_boundary(
+                model.fl1, bc_file, fine_tab, _fmt14(nxt))
         if nxt in frc_dates:
             model.newwind(nxt)        # NEWWIND swap incl. the TAUW cap
         if nxt in out_dates:
             do_output(nxt)
+            if bc_writer is not None:
+                bc_writer.add(_fmt14(nxt), model.fl1)
         if nxt in rst_dates:
             saved.append(restart_mod.save_restart(
                 rundir, _fmt14(nxt), model.fl1, model.stress,
@@ -377,6 +408,13 @@ def run_model(cfg: RunConfig, rundir: str, *, dtype=None, quiet=False):
 
     for sig, h in old_handlers.items():
         signal.signal(sig, h)
+
+    if bc_writer is not None and bc_writer.dates:
+        bc_path = os.path.join(rundir, "wam_boundary.npz")
+        bc_writer.save(bc_path)
+        if not quiet:
+            print(f"[ecwave] wrote boundary file {bc_path} "
+                  f"({len(bc_writer.dates)} dates)")
 
     wall = time.perf_counter() - t_wall
     log_path = os.path.join(rundir, "statistics.log")
@@ -429,6 +467,32 @@ def cmd_validate(args):
     return _validate(cfg, entries)
 
 
+def cmd_bouint(args):
+    """bouint program role (bouint.F90:19-23): time-interpolate a
+    coarse boundary file to a finer cadence."""
+    from ecwam_tpu.core import spectral
+    from ecwam_tpu.model import nesting as nesting_mod
+    from ecwam_tpu.model.driver import parse_date, format_date
+    z = np.load(args.input)
+    nfre = int(z["fr"].shape[0])
+    nang = int(z["th"].shape[0])
+    tb = spectral.build_spectral_tables(nang, nfre)
+    bf = nesting_mod.BoundaryFile(args.input, tb)
+    cb = bf.coarse_boundary()
+    wr = nesting_mod.BoundaryWriter(cb, tb)
+    t = parse_date(str(bf.dates[0]))
+    end = parse_date(str(bf.dates[-1]))
+    step = _dt.timedelta(seconds=float(args.timestep))
+    while t <= end:
+        d14 = format_date(t)
+        spec_t, _ = bf.at(d14)
+        wr.add(d14, np.moveaxis(spec_t, 0, -1))
+        t += step
+    wr.save(args.output)
+    print(f"[ecwave] bouint: {len(wr.dates)} records -> {args.output}")
+    return 0
+
+
 def cmd_info(args):
     import jax
     print("ecwave (ecwam_tpu) — TPU-native spectral wave model")
@@ -447,6 +511,7 @@ def main(argv=None):
     for name, fn, needs_cfg in (
             ("preproc", cmd_preproc, True), ("preset", cmd_preset, True),
             ("run", cmd_run, True), ("validate", cmd_validate, True),
+            ("bouint", cmd_bouint, False),
             ("info", cmd_info, False)):
         sp = sub.add_parser(name)
         sp.set_defaults(fn=fn)
@@ -455,6 +520,11 @@ def main(argv=None):
             sp.add_argument("--rundir", default="run")
         if name == "run":
             sp.add_argument("--validate", action="store_true")
+        if name == "bouint":
+            sp.add_argument("--input", required=True)
+            sp.add_argument("--output", required=True)
+            sp.add_argument("--timestep", required=True,
+                            help="output cadence in seconds")
         if name == "preset":
             sp.add_argument("--swell", action="store_true",
                             help="MSWELL swell-only cold start "
