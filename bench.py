@@ -152,14 +152,13 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=29,
     def adv_srl(f_srl, bundle):
         return fp.advect_srl(f_srl, bundle)
 
-    # donate the SRL buffer through the physics round trip so the peak
-    # stays ~2 SRL copies + compact, not 3
+    # SRL-resident physics: gathers/integrates/scatters each chunk in
+    # place (donated) — the compact round trip costs ~9 GB of extra
+    # peak HBM at 1M-point shapes and killed the O512 physics compile
     @functools.partial(jax.jit, donate_argnums=(0,))
     def phys_srl(f_srl, frc, stress, env, bundle):
-        fl1 = fp.from_srl(f_srl, bundle)
-        fl1, state = stepper_mod._chunked_implsch(ms, fl1, env, frc,
-                                                  stress)
-        return fp.to_srl(fl1, bundle), state
+        return fp.phys_srl_chunked(f_srl, frc, stress, env, bundle,
+                                   chunk=chunk)
 
     def xla_bytes(jfn, *args):
         """XLA cost-analysis 'bytes accessed' (audits the hand model;
@@ -229,7 +228,8 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=29,
     per_pass += (win + 1.0) * ft.nsrl * nfre               # cg windows
     per_pass += ft.nsrl * (6.0 * ft.EW + 22.0 + 8.0 * nfre)  # tables
     adv_bytes = 4.0 * per_pass
-    phys_bytes = 4.0 * 30.0 * ms.n_pad * L                 # ≈30 passes
+    # ≈30 implsch passes + the SRL gather/scatter round trip (2 passes)
+    phys_bytes = 4.0 * 32.0 * ms.n_pad * L
     achieved = (2.0 * adv_bytes + phys_bytes) / dt_pair
 
     return {
@@ -259,18 +259,57 @@ def main():
     steps = int(os.environ.get("ECWAVE_BENCH_STEPS", "5"))
     forced = os.environ.get("ECWAVE_BENCH_GRID")
     profile_dir = os.environ.get("ECWAVE_BENCH_PROFILE")
+    # quick rung FIRST (guaranteed number in ~5 min), then the 1M-point
+    # target, then smaller big rungs; stop at the first big success
     ladder = ([forced] if forced
-              else ["O512", "O400", "O320", "O160", "O96", "3.0", "12.0"])
+              else ["O160", "O512", "O320", "O96", "3.0", "12.0"])
+
+    try:  # persistent compile cache: O512 compiles cost ~20 min fresh
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          10)
+    except Exception:  # noqa: BLE001
+        pass
+
+    best = {"out": None}
+
+    def emit_best(*_a):
+        """Always leave a JSON line, even when the driver times us out
+        (SIGTERM): print the best rung achieved so far."""
+        if best["out"] is not None:
+            print(json.dumps(best["out"]), flush=True)
+            os._exit(0)
+        print(json.dumps({
+            "metric": "point_bins_per_s_per_chip", "value": 0.0,
+            "unit": "bins/s", "vs_baseline": 0.0, "degraded": True,
+            "errors": {g: e[:300] for g, e in errors.items()}}),
+            flush=True)
+        os._exit(0)
+
+    import signal
+    signal.signal(signal.SIGTERM, emit_best)
 
     errors = {}
     for i, grid_name in enumerate(ladder):
         try:
             out = run_fused(grid_name, steps, profile_dir)
-            if i > 0 or errors:
-                out["degraded"] = True
+            if errors:
                 out["errors"] = {g: e[:300] for g, e in errors.items()}
-            print(json.dumps(out))
-            return 0
+            prev = best["out"]
+            if prev is None or out["sea_points"] > prev["sea_points"]:
+                best["out"] = out
+            if not forced and i >= 1:
+                # a big rung (>= O320) succeeded — stop climbing down
+                out = dict(best["out"])
+                out["degraded"] = grid_name != "O512"
+                print(json.dumps(out))
+                return 0
+            if forced:
+                print(json.dumps(out))
+                return 0
         except Exception as e:  # noqa: BLE001 — degrade, never rc!=0
             errors[grid_name] = repr(e)
             log(f"{grid_name} failed: {e!r}")

@@ -224,6 +224,70 @@ class FusedPropagation:
             max_outflow=float(np.asarray(rs)),
             n_violations=int(np.asarray(jnp.sum(cfl))))
 
+    # -- SRL-resident physics ------------------------------------------
+    def phys_srl_chunked(self, f_srl, frc, stress, env, bundle, *,
+                         chunk: int,
+                         state_keys=("ufric", "tauw", "tauwdir", "z0m",
+                                     "z0b", "chrnck")):
+        """One physics step directly on SRL-resident state.
+
+        The compact round trip (from_srl → chunked implsch → to_srl)
+        materializes the full compact spectrum TWICE plus a whole-field
+        transpose — ~9 GB of extra peak HBM at 1M-point shapes, which
+        is exactly what killed the O512 physics compile.  This variant
+        fori-loops over point chunks, gathering each chunk's rows out
+        of the SRL buffer, integrating, and scattering the result back
+        in place (donate ``f_srl`` for full aliasing).  Only 1-D
+        ``state_keys`` are accumulated (the per-bin diagnostics like
+        xllws would cost another full field).
+
+        Requires nfre_red == nfre (the SRL carries only the advected
+        frequencies).
+        """
+        import jax.lax as lax
+        from ecwam_tpu.ops.physics import implsch as impl
+
+        setup = self.setup
+        tb = setup.tb
+        if tb.nfre_red != tb.nfre:
+            raise ValueError("SRL-resident physics needs nfre_red == "
+                             "nfre (diagnostic tail lives off-SRL)")
+        n = setup.n_pad
+        C = int(chunk)
+        if n % C:
+            raise ValueError(f"n_pad {n} not divisible by chunk {C}")
+        nch = n // C
+        L = self.L
+        nang, nfre = self.nang, self.nfre_red
+        fsp = bundle["from_srl_pad"]
+        # pad points scatter to SRL slot 0 (front pad: read only through
+        # zero taps / valid-masked outputs, so a don't-care slot)
+        scat = jnp.where(jnp.arange(n) < self.ft.npts, fsp, 0)
+
+        def sl(a, i):
+            return lax.dynamic_slice_in_dim(a, i * C, C, axis=-1)
+
+        def body(i, carry):
+            f_srl, acc = carry
+            ix = lax.dynamic_slice_in_dim(fsp, i * C, C)
+            e = jax.tree.map(lambda a: sl(a, i), env)
+            fr = jax.tree.map(lambda a: sl(a, i), frc)
+            srx = jax.tree.map(lambda a: sl(a, i), stress)
+            fll = f_srl[ix][:, :L]
+            fl = pfz.from_lanes(fll, nfre, nang)
+            out, st = impl.implsch(setup.phys, fl, e, fr, **srx)
+            oll = pfz.to_lanes(out, nfre, nang)
+            six = lax.dynamic_slice_in_dim(scat, i * C, C)
+            f_srl = f_srl.at[six, :L].set(oll.astype(f_srl.dtype))
+            acc = {k: lax.dynamic_update_slice_in_dim(
+                acc[k], st[k].astype(acc[k].dtype), i * C, axis=-1)
+                for k in acc}
+            return f_srl, acc
+
+        acc0 = {k: jnp.zeros(n, self.dtype) for k in state_keys}
+        f_srl, acc = lax.fori_loop(0, nch, body, (f_srl, acc0))
+        return f_srl, acc
+
     # -- pure steps (jit these with bundle as an argument) -------------
     def to_srl(self, fl1, bundle):
         """Compact (nang, nfre, n_pad) spectrum → SRL (nsrl, L[P])."""

@@ -148,3 +148,47 @@ def test_fused_matches_dense_currents_plus_fast_waves():
     ms_ref = setup_mod.build_model(weights_mode="cached", **kw)
     ms_fus = setup_mod.build_model(weights_mode="fused", **kw)
     _compare(ms_ref, ms_fus, rtol=1e-10)
+
+
+def test_phys_srl_chunked_matches_compact_round_trip():
+    """SRL-resident physics == from_srl -> chunked implsch -> to_srl."""
+    import jax
+    import jax.numpy as jnp
+    from ecwam_tpu.model import setup as setup_mod
+    from ecwam_tpu.model import preset, stepper as stepper_mod
+    from ecwam_tpu.model.fusedstep import FusedPropagation
+
+    ms = setup_mod.build_model(grid_name="12.0", nang=12, nfre=25,
+                               idelpro=900.0, idelt=900.0, pad_to=64,
+                               weights_mode="fused", phys_chunk=64,
+                               dtype=jnp.float64)
+    fp = FusedPropagation(ms, backend="xla")
+    n = ms.n_pad
+    rng = np.random.default_rng(3)
+    wswave = 8.0 + 4.0 * rng.random(n)
+    wdwave = rng.random(n) * 2.0 * np.pi
+    frc = dict(wswave=jnp.asarray(wswave, ms.dtype),
+               wdwave=jnp.asarray(wdwave, ms.dtype),
+               aird=jnp.full(n, 1.225, ms.dtype),
+               wstar=jnp.zeros(n, ms.dtype),
+               cicover=jnp.zeros(n, ms.dtype))
+    stress = stepper_mod.initial_stress(ms, dict(wswave=wswave,
+                                                 wdwave=wdwave))
+    env = {k: ms.env[k] for k in stepper_mod.ENV_KEYS}
+    fl1 = jnp.asarray(preset.mstart(ms.tb, wswave, wdwave), ms.dtype)
+    f_srl = fp.to_srl(fl1, fp.bundle)
+
+    out_srl, st = fp.phys_srl_chunked(f_srl, frc, stress, env,
+                                      fp.bundle, chunk=64)
+    got = fp.from_srl(out_srl, fp.bundle)
+
+    want, st_want = stepper_mod._chunked_implsch(ms, fl1, env, frc,
+                                                 stress)
+    nr = ms.n_real            # pad points are don't-care in SRL mode
+    np.testing.assert_allclose(np.asarray(got)[..., :nr],
+                               np.asarray(want)[..., :nr],
+                               rtol=1e-11, atol=1e-13)
+    for k in st:
+        np.testing.assert_allclose(
+            np.asarray(st[k])[..., :nr],
+            np.asarray(st_want[k])[..., :nr], rtol=1e-11, err_msg=k)
