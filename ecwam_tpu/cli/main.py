@@ -311,6 +311,13 @@ def run_model(cfg: RunConfig, rundir: str, *, dtype=None, quiet=False):
 
     grib_out = (cfg.output_fields is not None
                 and cfg.output_fields.format == "grib")
+    # LFDB path (wam_multio_mod.F90 role): GRIB messages to the keyed
+    # FDB-lite sink instead of per-date MPP files
+    fdb_sink = None
+    if (cfg.output_fields is not None
+            and cfg.output_fields.format == "fdb"):
+        from ecwam_tpu.io import multio as multio_mod
+        fdb_sink = multio_mod.MultioSink(os.path.join(rundir, "fdb"))
 
     # second-order correction of the output spectrum (outblock.F90:173;
     # LSECONDORDER defaults true, mpuserin.F90:594).  Output-side only —
@@ -348,6 +355,12 @@ def run_model(cfg: RunConfig, rundir: str, *, dtype=None, quiet=False):
             gribout.write_fields(
                 os.path.join(rundir, f"MPP{d14}.grib"),
                 {n: v for n, v in host.items() if n in grib_set},
+                ms.blk, ms.grid, d14)
+        if fdb_sink is not None:
+            from ecwam_tpu.io import multio as multio_mod
+            multio_mod.write_fields_to_sink(
+                fdb_sink, {n: v for n, v in host.items()
+                           if n in grib_set},
                 ms.blk, ms.grid, d14)
 
     # step 0 output (OUTSTEP0, initmdl.F90:1101)

@@ -120,29 +120,60 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
     EWG = ((EW + 2 + 7) // 8) * 8
     nsrl = f_hbm.shape[0]
     pid = pl.program_id(0)
-    dnb = pl.multiple_of(jnp.minimum(dn_ref[pid], nsrl - S - EWG), 8)
-    upb = pl.multiple_of(jnp.minimum(up_ref[pid], nsrl - S - EWG), 8)
-    ownb = pl.multiple_of(
-        jnp.minimum(jnp.maximum(pid * S - 8, 0), nsrl - S - 24), 8)
+    nprog = pl.num_programs(0)
 
-    copies = [
-        pltpu.make_async_copy(f_hbm.at[pl.ds(dnb, S + EWG), :], wf_dn,
-                              sems.at[0]),
-        pltpu.make_async_copy(f_hbm.at[pl.ds(upb, S + EWG), :], wf_up,
-                              sems.at[1]),
-        pltpu.make_async_copy(f_hbm.at[pl.ds(ownb, S + 24), :], wf_ow,
-                              sems.at[2]),
-        pltpu.make_async_copy(cg_hbm.at[pl.ds(dnb, S + EWG), :], wc_dn,
-                              sems.at[3]),
-        pltpu.make_async_copy(cg_hbm.at[pl.ds(upb, S + EWG), :], wc_up,
-                              sems.at[4]),
-        pltpu.make_async_copy(cg_hbm.at[pl.ds(ownb, S + 24), :], wc_ow,
-                              sems.at[5]),
-    ]
-    for cp in copies:
-        cp.start()
-    for cp in copies:
+    def window_copies(bid, slot):
+        """The 6 async window copies for block ``bid`` into buffer
+        ``slot`` (double buffering: block i+1's DMAs overlap block i's
+        compute — the synchronous form left the MXU-free VPU loop
+        stalled on HBM latency every block)."""
+        dnb = pl.multiple_of(
+            jnp.minimum(dn_ref[bid], nsrl - S - EWG), 8)
+        upb = pl.multiple_of(
+            jnp.minimum(up_ref[bid], nsrl - S - EWG), 8)
+        ownb = pl.multiple_of(
+            jnp.minimum(jnp.maximum(bid * S - 8, 0), nsrl - S - 24), 8)
+        return [
+            pltpu.make_async_copy(
+                f_hbm.at[pl.ds(dnb, S + EWG), :], wf_dn.at[slot],
+                sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                f_hbm.at[pl.ds(upb, S + EWG), :], wf_up.at[slot],
+                sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                f_hbm.at[pl.ds(ownb, S + 24), :], wf_ow.at[slot],
+                sems.at[slot, 2]),
+            pltpu.make_async_copy(
+                cg_hbm.at[pl.ds(dnb, S + EWG), :], wc_dn.at[slot],
+                sems.at[slot, 3]),
+            pltpu.make_async_copy(
+                cg_hbm.at[pl.ds(upb, S + EWG), :], wc_up.at[slot],
+                sems.at[slot, 4]),
+            pltpu.make_async_copy(
+                cg_hbm.at[pl.ds(ownb, S + 24), :], wc_ow.at[slot],
+                sems.at[slot, 5]),
+        ]
+
+    slot = jnp.remainder(pid, 2)
+
+    @pl.when(pid == 0)
+    def _prologue():
+        for cp in window_copies(0, 0):
+            cp.start()
+
+    @pl.when(pid + 1 < nprog)
+    def _prefetch_next():
+        for cp in window_copies(pid + 1, jnp.remainder(pid + 1, 2)):
+            cp.start()
+
+    for cp in window_copies(pid, slot):
         cp.wait()
+    wf_dn = wf_dn.at[slot]
+    wf_up = wf_up.at[slot]
+    wf_ow = wf_ow.at[slot]
+    wc_dn = wc_dn.at[slot]
+    wc_up = wc_up.at[slot]
+    wc_ow = wc_ow.at[slot]
 
     lc = {k: lc_ref[i:i + 1, :] for i, k in enumerate(LC_ROWS)}
     cg_land_lane = cgland_ref[0:1, :]
@@ -400,13 +431,14 @@ def advect_pallas(f_srl_p, tabs, *, nang, nfre, irefra, S, EW, fratio,
             pl.BlockSpec((8, NFP), lambda i, *_: (0, 0)),
         ],
         out_specs=pl.BlockSpec((S, LP), lambda i, *_: (i, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((S + EWG, LP), dt), pltpu.VMEM((S + EWG, LP), dt),
-            pltpu.VMEM((S + 24, LP), dt),
-            pltpu.VMEM((S + EWG, NFP), dt),
-            pltpu.VMEM((S + EWG, NFP), dt),
-            pltpu.VMEM((S + 24, NFP), dt),
-            pltpu.SemaphoreType.DMA((6,)),
+        scratch_shapes=[                       # double-buffered windows
+            pltpu.VMEM((2, S + EWG, LP), dt),
+            pltpu.VMEM((2, S + EWG, LP), dt),
+            pltpu.VMEM((2, S + 24, LP), dt),
+            pltpu.VMEM((2, S + EWG, NFP), dt),
+            pltpu.VMEM((2, S + EWG, NFP), dt),
+            pltpu.VMEM((2, S + 24, NFP), dt),
+            pltpu.SemaphoreType.DMA((2, 6)),
         ],
     )
     kern = functools.partial(
