@@ -260,32 +260,41 @@ class FusedPropagation:
         L = self.L
         nang, nfre = self.nang, self.nfre_red
         fsp = bundle["from_srl_pad"]
-        # pad points scatter to SRL slot 0 (front pad: read only through
-        # zero taps / valid-masked outputs, so a don't-care slot)
-        scat = jnp.where(jnp.arange(n) < self.ft.npts, fsp, 0)
 
-        def sl(a, i):
-            return lax.dynamic_slice_in_dim(a, i * C, C, axis=-1)
+        def split(a):
+            a = jnp.asarray(a)
+            return jnp.moveaxis(a.reshape(a.shape[:-1] + (nch, C)),
+                                -2, 0)
 
-        def body(i, carry):
-            f_srl, acc = carry
-            ix = lax.dynamic_slice_in_dim(fsp, i * C, C)
-            e = jax.tree.map(lambda a: sl(a, i), env)
-            fr = jax.tree.map(lambda a: sl(a, i), frc)
-            srx = jax.tree.map(lambda a: sl(a, i), stress)
+        xs = (fsp.reshape(nch, C), jax.tree.map(split, env),
+              jax.tree.map(split, frc), jax.tree.map(split, stress))
+
+        def body(args):
+            ix, e, fr, srx = args
             fll = f_srl[ix][:, :L]
             fl = pfz.from_lanes(fll, nfre, nang)
             out, st = impl.implsch(setup.phys, fl, e, fr, **srx)
-            oll = pfz.to_lanes(out, nfre, nang)
-            six = lax.dynamic_slice_in_dim(scat, i * C, C)
-            f_srl = f_srl.at[six, :L].set(oll.astype(f_srl.dtype))
-            acc = {k: lax.dynamic_update_slice_in_dim(
-                acc[k], st[k].astype(acc[k].dtype), i * C, axis=-1)
-                for k in acc}
-            return f_srl, acc
+            oll = pfz.to_lanes(out, nfre, nang).astype(f_srl.dtype)
+            return oll, {k: st[k].astype(self.dtype)
+                         for k in state_keys}
 
-        acc0 = {k: jnp.zeros(n, self.dtype) for k in state_keys}
-        f_srl, acc = lax.fori_loop(0, nch, body, (f_srl, acc0))
+        # chunk-major stacked output (nch, C, L) + ONE srl_src GATHER to
+        # rebuild the SRL buffer.  Rejected alternatives, all measured:
+        # a fori_loop carrying f_srl re-copies the whole 5.5 GB buffer
+        # per iteration when XLA fails to alias the in-loop scatter
+        # (6.4 s/step at O512); a whole-field row-scatter lowers to a
+        # generic scatter ~3x slower than the equivalent gather
+        # (0.70 s vs 0.23 s at O160); the compact (nang, nfre, n) round
+        # trip adds a whole-field transpose that blew the O512 compile.
+        outs, acc = lax.map(body, xs)
+        vals = outs.reshape(n, L)
+        LPb = self.LP if self.backend == "pallas" else L
+        if LPb > L:
+            vals = jnp.pad(vals, ((0, 0), (0, LPb - L)))
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((1, vals.shape[1]), vals.dtype)], axis=0)
+        f_srl = vals[bundle["dev"]["srl_src"]]
+        acc = {k: v.reshape(n) for k, v in acc.items()}
         return f_srl, acc
 
     # -- pure steps (jit these with bundle as an argument) -------------
