@@ -130,14 +130,20 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=29,
     # device push, no compact copy resident on device (at the 1M-point
     # shapes the compact+SRL duplication would not fit HBM)
     t0 = time.time()
-    fl0 = np.asarray(preset.mstart(ms.tb, wswave, wdwave), np.float32)
+    # MSTART directly in k-major lane order: spread(th)⊗jonswap(fr) is
+    # already (npts, nang, nfre) — the (nang, nfre, npts) detour costs
+    # a strided 4.5 GB f64 transpose+concat+pad chain (~3 min at O512)
     L = ms.tb.nang * ms.tb.nfre_red
-    fll = fl0.transpose(2, 0, 1).reshape(n, L)
-    fll = np.concatenate([fll, np.zeros((1, L), np.float32)], axis=0)
-    if fp.backend == "pallas" and fp.LP > fp.L:
-        fll = np.pad(fll, ((0, 0), (0, fp.LP - fp.L)))
+    LPb = fp.LP if fp.backend == "pallas" else fp.L
+    fpk, alphaj = preset.peak(wswave, 50000.0, 0.2)
+    et = np.asarray(preset.jonswap_1d(ms.tb.fr, fpk, alphaj,
+                                      3.0, 0.07, 0.09),
+                    np.float32)[:, : ms.tb.nfre_red]
+    st_sp = np.asarray(preset.spread(ms.tb.th, wdwave), np.float32)
+    fll = np.zeros((n + 1, LPb), np.float32)
+    fll[:n, :L] = (st_sp[:, :, None] * et[:, None, :]).reshape(n, L)
     f_srl_np = fll[np.asarray(ft.srl_src)]
-    del fl0, fll
+    del fll, et, st_sp
     log(f"initial SRL state built in {time.time()-t0:.0f}s "
         f"({f_srl_np.nbytes/1e9:.1f} GB)")
     t0 = time.time()
