@@ -167,8 +167,10 @@ def build_model(
     if weights_mode == "fused":
         from ecwam_tpu.ops import propagation_fused as pfz
         # segment size scales with the typical row length; small grids
-        # would otherwise drown in row padding
-        seg = 1 << max(4, min(8, int(np.log2(max(16, grid.ngx // 4)))))
+        # get small segments.  Capped at 128: the Pallas kernel's
+        # double-buffered VMEM windows at S=256 exceed the 16 MB scoped
+        # vmem stack limit (measured at O512: 18.5 MB).
+        seg = 1 << max(4, min(7, int(np.log2(max(16, grid.ngx // 4)))))
         fused_tables = pfz.build_fused_tables(
             st_real, blk.kxlt, nfre_red, S=seg, land_index=n_pad)
     st = _pad_stencil(st_real, n_real, n_pad)
