@@ -308,7 +308,8 @@ def main():
             if prev is None or out["sea_points"] > prev["sea_points"]:
                 best["out"] = out
             if not forced and i >= 1:
-                # a big rung (>= O320) succeeded — stop climbing down
+                # first post-quick-rung success: the ladder descends in
+                # size, so this is the biggest grid that fits — stop
                 out = dict(best["out"])
                 out["degraded"] = grid_name != "O512"
                 print(json.dumps(out))

@@ -43,8 +43,8 @@ _TOK = re.compile(
     r"""
     \s*(?:
       (?P<comment>![^\n]*) |
+      (?P<end>/|(?i:\$END|&END)(?![A-Za-z0-9_])) |
       (?P<begin>&[A-Za-z_][A-Za-z0-9_]*) |
-      (?P<end>/|\$END|&END) |
       (?P<name>[A-Za-z_][A-Za-z0-9_%]*(?:\(\s*\d+\s*(?:,\s*\d+\s*)*\))?\s*=) |
       (?P<str>'(?:[^']|'')*'|"(?:[^"]|"")*") |
       (?P<val>[^\s,!/]+) |
@@ -60,6 +60,8 @@ _LOGICAL = {"T": True, ".TRUE.": True, "TRUE": True,
 
 def _coerce(tok: str):
     """One namelist value token → python value."""
+    if len(tok) >= 2 and tok[0] in "'\"" and tok[-1] == tok[0]:
+        return tok[1:-1].replace(tok[0] * 2, tok[0])   # n*'H' repeats
     up = tok.upper().rstrip(",")
     if up in _LOGICAL:
         return _LOGICAL[up]
@@ -339,8 +341,12 @@ def namelist_to_config(text: str) -> NamelistConfig:
     mts = nl.get("clmtsu")
     idelpro = float(nl.get("idelpro", 900)) * _step_unit(mts, 0)
     idelt = float(nl.get("idelt", idelpro)) * _step_unit(mts, 1)
-    idelwi = float(nl.get("idelwi", idelt)) * _step_unit(mts, 3)
-    idelwo = float(nl.get("idelwo", idelwi)) * _step_unit(mts, 2)
+    # unit-scale the raw user values only; missing variables default
+    # from the already-converted seconds values (mpuserin.F90:1020-1023)
+    idelwi = (float(nl["idelwi"]) * _step_unit(mts, 3)
+              if "idelwi" in nl else idelt)
+    idelwo = (float(nl["idelwo"]) * _step_unit(mts, 2)
+              if "idelwo" in nl else idelwi)
     ots = nl.get("clotsu")
     idelint = float(nl.get("idelint", 0)) * _step_unit(ots, 0)
     idelres = float(nl.get("idelres", 0)) * _step_unit(ots, 1)
@@ -350,6 +356,7 @@ def namelist_to_config(text: str) -> NamelistConfig:
         "grid": str(nl.get("cldomain", "g")).strip(),
         "directions": int(nl.get("nang", 24)),
         "frequencies": int(nl.get("nfre", 29)),
+        **({"nfre_red": int(nl["nfre_red"])} if "nfre_red" in nl else {}),
         "begin": begin.strftime(schema.DATE_FMT),
         "end": end.strftime(schema.DATE_FMT),
         "advection": {"timestep": idelpro},
@@ -397,9 +404,30 @@ def namelist_to_config(text: str) -> NamelistConfig:
               for i in g.get("naoutp", [])]
 
     fmt = "grib" if bool(nl.get("lgribout", True)) else "binary"
-    if not out_dates and idelint > 0:
+    # FFLAG/GFLAG select the output field set (userin.F90 → MPCRTBL);
+    # map set bits to registry names so the run loop outputs them
+    field_names: list = []
+    for key in ("gflag", "fflag"):
+        v = nl.get(key)
+        if v is None:
+            continue
+        from ecwam_tpu.io import outcontrol as _oc
+        bits = [bool(x) for x in (v if isinstance(v, list) else [v])]
+        for p in _oc.PARAMS:
+            if p.idx - 1 < len(bits) and bits[p.idx - 1] \
+                    and p.name not in field_names:
+                field_names.append(p.name)
+    if out_dates:
+        # explicit &NAOT dates win over the IDELINT cadence
+        # (mpuserin.F90:249-262): one zero-length window per date
         raw["output"] = {"fields": {
-            "name": [], "format": fmt,
+            "name": field_names, "format": fmt,
+            "at": [{"begin": d.strftime(schema.DATE_FMT),
+                    "end": d.strftime(schema.DATE_FMT),
+                    "timestep": 1} for d in sorted(set(out_dates))]}}
+    elif idelint > 0:
+        raw["output"] = {"fields": {
+            "name": field_names, "format": fmt,
             "at": [{"timestep": idelint}]}}
     rst = {}
     if rst_dates:
@@ -432,7 +460,7 @@ def namelist_to_config(text: str) -> NamelistConfig:
               "llnormwamout", "llnormwamout_global", "cnormwamout_file",
               "llrstgribparam", "lfrstfld", "llsource", "lsubgrid",
               "irest", "ibounc", "ibounf", "idelbc", "cbcpref",
-              "cdatef", "cdatecura", "ifre1", "fr1", "nfre_red"):
+              "cdatef", "cdatecura", "ifre1", "fr1"):
         if k in nl:
             extras[k] = nl[k]
 

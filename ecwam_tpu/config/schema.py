@@ -106,6 +106,11 @@ class RunConfig:
     output_fields: OutputFields | None
     restart_format: str
     restart_times: tuple       # tuple[datetime]
+    # advected frequency count NFRE_RED ≤ NFRE; None = all.  The reference
+    # run script pins NFRE=36 and advects only the YAML `frequencies`
+    # (ecwam_run_model.sh:213-214); set `physics_frequencies: 36` in YAML
+    # (or NFRE+NFRE_RED in the namelist) to reproduce that split.
+    nfre_red: int | None = None
     # option overrides (namelist surface)
     iphys: int = 1
     irefra: int = 0
@@ -185,10 +190,19 @@ class RunConfig:
 
         ana_b = get("analysis.begin")
         ana_e = get("analysis.end")
+        freqs = int(raw.get("frequencies", 29))
+        nfre_red = None
+        if "physics_frequencies" in raw:
+            # YAML `frequencies` is the advected count NFRE_RED; physics
+            # runs the full NFRE (ecwam_run_model.sh:213-214 semantics)
+            nfre_red, freqs = freqs, int(raw["physics_frequencies"])
+        if "nfre_red" in raw:
+            nfre_red = int(raw["nfre_red"])
         return cls(
             grid=str(raw["grid"]).strip(),
             directions=int(raw.get("directions", 24)),
-            frequencies=int(raw.get("frequencies", 29)),
+            frequencies=freqs,
+            nfre_red=nfre_red,
             bathymetry=str(raw.get("bathymetry", "aqua")).strip(),
             adv_timestep=parse_timestep(adv.get("timestep", 900)),
             phys_timestep=parse_timestep(
@@ -224,7 +238,7 @@ class RunConfig:
         """kwargs for model.setup.build_model."""
         kw = dict(
             grid_name=self.grid, nang=self.directions,
-            nfre=self.frequencies,
+            nfre=self.frequencies, nfre_red=self.nfre_red,
             idelpro=self.adv_timestep, idelt=self.phys_timestep,
             iphys=self.iphys, irefra=self.irefra,
             llgcbz0=self.llgcbz0, llnormagam=self.llnormagam,

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ecwam_tpu.ops import propagation as prop
 from ecwam_tpu.ops import propagation_fused as pfz
+from ecwam_tpu.ops.physics import implsch_pallas as ipk
 
 
 def default_backend(dtype) -> str:
@@ -224,7 +225,67 @@ class FusedPropagation:
             max_outflow=float(np.asarray(rs)),
             n_violations=int(np.asarray(jnp.sum(cfl))))
 
-    # -- SRL-resident physics ------------------------------------------
+    # -- SRL-resident physics: fused Pallas kernel ----------------------
+    @property
+    def phys_tile(self) -> int:
+        """Point-tile size of the physics kernel: the SRL length is a
+        multiple of the segment size S, so tiles of min(S, 128) always
+        divide it."""
+        return min(128, self.ft.S)
+
+    def build_phys_srl(self, frc, stress):
+        """One-time device build of the SRL-ordered physics inputs.
+
+        Returns (env2d, denv, frc6, stress6):
+          env2d (5·nfre, nsrl)  dispersion env rows (static per depth)
+          denv  (2, nsrl)       depth/emaxdpt rows (static)
+          frc6  (6, nsrl)       forcing rows (rebuild per wind date)
+          stress6 (6, nsrl)     stress-state rows (carried step to step)
+        Land/pad rows read the benign land slot (finite — NaNs there
+        would leak through the advection FIR taps as 0·NaN).
+        """
+        src = self.bundle["dev"]["srl_src"]
+        return _build_phys_srl(self.setup.env, frc, stress, src)
+
+    def frc_srl(self, frc):
+        """Forcing rows (6, nsrl) in SRL order (NEWWIND update)."""
+        return _frc_srl(frc, self.bundle["dev"]["srl_src"])
+
+    def phys_srl_pallas(self, f_srl, stress6, frc6, denv, env2d,
+                        tail=None, *, full: bool = False):
+        """One physics step on SRL-resident state via the fused Pallas
+        IMPLSCH kernel (ops/physics/implsch_pallas.py) — one spectrum
+        read + write instead of the ~30 XLA passes; runs on all SRL rows
+        (wrap duplicates compute identical results; pads are finite
+        garbage that the advection valid-mask never reads).
+
+        Returns (f_srl, stress6[, tail][, state]) where ``state`` (full
+        mode) is the unpacked diagnostics dict in SRL row order.
+        """
+        cfg = self.setup.phys if full else ipk.minimal_config(
+            self.setup.phys)
+        scal = jnp.concatenate([frc6, denv, stress6], axis=0)
+        res = ipk.implsch_pallas_srl(
+            cfg, f_srl, env2d, scal, tail,
+            nang=self.nang, nfre_red=self.nfre_red, full=full,
+            tile=self.phys_tile, interpret=self.interpret)
+        i = 2 + (tail is not None)
+        out = [res[0], res[1][:6]]
+        if tail is not None:
+            out.append(res[2])
+        if full:
+            state = ipk.unpack_scal_out(res[1], full=True)
+            state["xllws"] = res[i]
+            out.append(state)
+        return tuple(out)
+
+    def extract_state(self, rows, bundle):
+        """Gather canonical points of SRL-ordered per-point rows
+        (…, nsrl) → (…, n_pad) (for restart/products extraction)."""
+        fsp = bundle["from_srl_pad"]
+        return rows[..., fsp]
+
+    # -- SRL-resident physics: chunked XLA fallback ---------------------
     def phys_srl_chunked(self, f_srl, frc, stress, env, bundle, *,
                          chunk: int,
                          state_keys=("ufric", "tauw", "tauwdir", "z0m",
@@ -397,3 +458,30 @@ def _advect_xla_srl(fp: FusedPropagation, f_srl, bundle, *,
 def _cast_lc(lc, dtype):
     return {k: (jnp.asarray(v, dtype) if isinstance(v, np.ndarray) else v)
             for k, v in lc.items()}
+
+
+@jax.jit
+def _frc_srl(frc, src):
+    """Forcing dict (n_pad,) fields → (6, nsrl) rows in SRL order; the
+    land slot replicates point 0 (benign, finite)."""
+    rows = []
+    for k in ipk.SCAL_IN[:ipk.N_FRC]:
+        v = frc.get(k)
+        if v is None:
+            v = jnp.zeros_like(frc["wswave"])
+        ext = jnp.concatenate([v, v[:1]])
+        rows.append(ext[src][None, :])
+    return jnp.concatenate(rows, axis=0)
+
+
+@jax.jit
+def _build_phys_srl(env, frc, stress, src):
+    env2d = jnp.concatenate(
+        [env[k + "_ext"][:, src] for k in ipk.ENV_FIELDS], axis=0)
+    denv = jnp.stack([env["depth_ext"][src], env["emaxdpt_ext"][src]])
+    frc6 = _frc_srl(frc, src)
+    srows = []
+    for k in ipk.STRESS_KEYS:
+        ext = jnp.concatenate([stress[k], stress[k][:1]])
+        srows.append(ext[src][None, :])
+    return env2d, denv, frc6, jnp.concatenate(srows, axis=0)

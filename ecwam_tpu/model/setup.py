@@ -206,6 +206,8 @@ def build_model(
     env["depth"] = jnp.asarray(depth, dtype)
     env["depth_ext"] = jnp.asarray(depth_ext, dtype)
     env["emaxdpt"] = jnp.asarray(dispersion.depth_limited_energy(depth), dtype)
+    env["emaxdpt_ext"] = jnp.asarray(
+        dispersion.depth_limited_energy(depth_ext), dtype)
 
     # surface currents (zero = no current; land slot zero)
     if irefra in (2, 3) and ifrelfmax and weights_mode == "otf":

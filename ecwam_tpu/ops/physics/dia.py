@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ecwam_tpu.core import constants as c
 from ecwam_tpu.core import spectral as sp
 from ecwam_tpu.core.dispersion import BATHYMAX
+from ecwam_tpu.ops.physics import kernelmode
 
 ALAMD = 0.25             # DIA lambda (nlweigt.F90:69)
 CON = 3000.0             # numerical constant (nlweigt.F90:70)
@@ -322,7 +323,7 @@ def transf(xk, depth):
     om = jnp.sqrt(c.G * xk * t0)
     c0 = om / xk
     vg = jnp.where(xs < 1.0e-4, c0,
-                   0.5 * c0 * (1.0 + 2.0 * xs / jnp.sinh(2.0 * xs)))
+                   0.5 * c0 * (1.0 + 2.0 * xs / kernelmode.sinh(2.0 * xs)))
     dvg = (t0 - xs * (1.0 - t0**2)) ** 2 + 4.0 * xs**2 * t0**2 * (1.0 - t0**2)
     xnl1 = (9.0 * t0**4 - 10.0 * t0**2 + 9.0) / (8.0 * t0**3)
     xnl2 = ((2.0 * vg - 0.5 * c0) ** 2 / (c.G * depth - vg**2) + 1.0) / xs
@@ -412,7 +413,7 @@ def transf_snl(xk0, depth, xnu, sig_th):
     c0 = om / xk
     cs_sq = c.G * depth
     vg = jnp.where(x < 1.0e-4, c0,
-                   0.5 * c0 * (1.0 + 2.0 * x / jnp.sinh(2.0 * x)))
+                   0.5 * c0 * (1.0 + 2.0 * x / kernelmode.sinh(2.0 * x)))
     vg_sq = vg**2
     dvg = (t0 - x * (1.0 - t0sq)) ** 2 + 4.0 * x**2 * t0sq * (1.0 - t0sq)
     xnl1 = (9.0 * t0sq**2 - 10.0 * t0sq + 9.0) / (8.0 * t0sq * t0)
@@ -544,19 +545,122 @@ def build_dia_projection(dia: DiaTables) -> DiaProjection:
     return out
 
 
+def _snonlin_mc_loop(fl1, fld, sl, enh, dia: DiaTables):
+    """Per-MC static-scatter DIA — the Fortran loop structure
+    (snonlin.F90:168-460) with every index a compile-time constant.
+
+    This is the Pallas-kernel formulation: only (nang, npts) slices are
+    live per MC iteration (VMEM-lean) and there are no batched einsums
+    or gather ops, just static slices, rolls and adds.  Algebraically
+    identical to the projection formulation in :func:`snonlin` (pinned
+    by tests/test_implsch_pallas.py).
+    """
+    dt = fl1.dtype
+    nang, nfre, npts = fl1.shape
+    pr = build_dia_projection(dia)
+    r = dia.rnl.astype(np.float64)
+    (ftail, gw1, gw2, gw3, gw4) = r[0], r[1], r[2], r[3], r[4]
+    (gw5, gw6, gw7, gw8) = r[13], r[14], r[15], r[16]
+    (fklampa, fklampb, fklamp2, fklamp1) = r[5], r[6], r[7], r[8]
+    (fklapa2, fklapb2, fklap12, fklap22) = r[9], r[10], r[11], r[12]
+    (fklamma, fklammb, fklamm2, fklamm1) = r[17], r[18], r[19], r[20]
+    (fklama2, fklamb2, fklam12, fklam22) = r[21], r[22], r[23], r[24]
+    af11 = np.asarray(dia.af11, np.float64)
+
+    dsl_c = [None] * nfre          # per-frequency (nang, npts) columns
+    dfld_c = [None] * nfre
+
+    def add(cols, f, val):
+        cols[f] = val if cols[f] is None else cols[f] + val
+
+    for kh in range(2):
+        s1, s11, s2, s21 = (int(x) for x in pr.shifts[kh])
+
+        # per-slice rolls (rot(a, s)[k] = a[(k+s) % nang]): rolling the
+        # (nang, npts) frequency slices on use instead of keeping 4
+        # rolled full-spectrum copies live saves ~3 MB of kernel VMEM
+        def rsl(idx, s):
+            a = kernelmode.sidx(fl1, idx, 1)
+            return a if s == 0 else jnp.roll(a, -s, axis=0)
+
+        for j in range(dia.mlsthg):
+            ic, ip, ip1 = int(dia.ic[j]), int(dia.ip[j]), int(dia.ip1[j])
+            im, im1 = int(dia.im[j]), int(dia.im1[j])
+            sap = (float(gw1[j]) * rsl(ip, s1)
+                   + float(gw2[j]) * rsl(ip, s11)
+                   + float(gw3[j]) * rsl(ip1, s1)
+                   + float(gw4[j]) * rsl(ip1, s11))
+            sam = (float(gw5[j]) * rsl(im, s2)
+                   + float(gw6[j]) * rsl(im, s21)
+                   + float(gw7[j]) * rsl(im1, s2)
+                   + float(gw8[j]) * rsl(im1, s21))
+            fij = rsl(ic, 0) * float(ftail[j])
+            fad1 = fij * (sap + sam)
+            fad2 = fad1 - 2.0 * sap * sam
+            fad1 = fad1 + fad2
+            ftemp_j = float(af11[j]) * kernelmode.sidx(enh, j, 0)
+            fcen = ftemp_j * fij
+            ad = fad2 * fcen
+            delad = fad1 * ftemp_j
+            delap = (fij - 2.0 * sam) * float(dia.dal1) * fcen
+            delam = (fij - 2.0 * sap) * float(dia.dal2) * fcen
+
+            # unrot(x, s)[k] = x[(k-s) % nang]
+            def unrot(x, s):
+                return x if s == 0 else jnp.roll(x, s, axis=0)
+
+            if j < nfre:                       # center target MC
+                add(dsl_c, j, -2.0 * ad)
+                add(dfld_c, j, -2.0 * delad)
+            # MM/MM1 targets at rotations K2/K21 (raw index in range only)
+            raw_mm, raw_mm1 = int(dia.ikm[j]), int(dia.ikm1[j])
+            if 1 <= raw_mm <= nfre:
+                add(dsl_c, raw_mm - 1, unrot(float(fklamm1[j]) * ad, s2)
+                    + unrot(float(fklamm2[j]) * ad, s21))
+                add(dfld_c, raw_mm - 1, unrot(float(fklam12[j]) * delam, s2)
+                    + unrot(float(fklam22[j]) * delam, s21))
+            if 1 <= raw_mm1 <= nfre:
+                add(dsl_c, raw_mm1 - 1, unrot(float(fklamma[j]) * ad, s2)
+                    + unrot(float(fklammb[j]) * ad, s21))
+                add(dfld_c, raw_mm1 - 1, unrot(float(fklama2[j]) * delam, s2)
+                    + unrot(float(fklamb2[j]) * delam, s21))
+            # MP/MP1 targets at rotations K1/K11
+            raw_mp, raw_mp1 = int(dia.ikp[j]), int(dia.ikp1[j])
+            if 1 <= raw_mp <= nfre:
+                add(dsl_c, raw_mp - 1, unrot(float(fklamp1[j]) * ad, s1)
+                    + unrot(float(fklamp2[j]) * ad, s11))
+                add(dfld_c, raw_mp - 1, unrot(float(fklap12[j]) * delap, s1)
+                    + unrot(float(fklap22[j]) * delap, s11))
+            if 1 <= raw_mp1 <= nfre:
+                add(dsl_c, raw_mp1 - 1, unrot(float(fklampa[j]) * ad, s1)
+                    + unrot(float(fklampb[j]) * ad, s11))
+                add(dfld_c, raw_mp1 - 1, unrot(float(fklapa2[j]) * delap, s1)
+                    + unrot(float(fklapb2[j]) * delap, s11))
+
+    zero = jnp.zeros((nang, npts), dt)
+    dsl = jnp.stack([c if c is not None else zero for c in dsl_c], axis=1)
+    dfld = jnp.stack([c if c is not None else zero for c in dfld_c],
+                     axis=1)
+    return fld + dfld, sl + dsl
+
+
 def snonlin(fl1, fld, sl, wavnum, depth, akmean, tb, dia: DiaTables,
             *, isnonlin: int = 1):
     """DIA nonlinear transfer, added onto (fld, sl) (snonlin.F90:70-470).
 
     Matmul formulation: all MC handled at once; gathers are static takes
     over the frequency axis, direction coupling is jnp.roll, and the
-    frequency scatter is 10 small einsums (see DiaProjection).
+    frequency scatter is 10 small einsums (see DiaProjection).  Inside a
+    Pallas kernel (kernelmode.PALLAS_SAFE) the per-MC static-scatter
+    loop is used instead.
     """
     dt = fl1.dtype
     nang, nfre, npts = fl1.shape
     pr = build_dia_projection(dia)
     enh = _enhancement(dia, tb, wavnum, depth, akmean, isnonlin,
                        fl1=fl1)
+    if kernelmode.PALLAS_SAFE:
+        return _snonlin_mc_loop(fl1, fld, sl, enh, dia)
 
     r = dia.rnl.astype(np.float64)
     ftail = jnp.asarray(r[0], dt)[None, :, None]

@@ -10,6 +10,7 @@ Layout: spectra are (nang, nfre, npts); point fields are (npts,).
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from ecwam_tpu.core import constants as c
@@ -53,8 +54,10 @@ def wnfluxes(ssource, cinv, rhowgdfth, cicover, phiwa,
     efd_fac = 4.0 * params.egrcrv / c.G**2
     ffd_fac = (params.egrcrv / params.afcrv) ** (1.0 / params.bfcrv) * c.G
 
-    sinth = jnp.asarray(tb.sinth, dt)[:, None, None]
-    costh = jnp.asarray(tb.costh, dt)[:, None, None]
+    # pre-shaped in numpy: a (nang,)->(nang,1,1) reshape of a
+    # traced value is the one layout cast Mosaic rejects
+    sinth = jnp.asarray(np.asarray(tb.sinth)[:, None, None], dt)
+    costh = jnp.asarray(np.asarray(tb.costh)[:, None, None], dt)
 
     # energy/momentum integrals of SSOURCE (wnfluxes.F90:199-221)
     sumt = jnp.sum(ssource, axis=0)                       # (nfre, npts)

@@ -10,9 +10,9 @@ Everything is a pure function of (fl1, env, forcing, stress-state) returning
 the new spectrum and updated stress-state/diagnostics.  Layout: fl1
 (nang, nfre, npts).
 
-Sea-ice attenuation source terms (SDICE, LCIWA*) and the NEMO flux coupling
-are not yet wired in (reference defaults run with LMASKICE=T ice masking,
-which is implemented via FLM/SETICE).
+Sea-ice handling: LMASKICE=T masking via FLM/SETICE (the reference
+default), LCISCAL source scaling, and the SDICE1/2/3 attenuation source
+terms (dispatched below when lciwa1/2/3 are set).
 """
 
 from __future__ import annotations
@@ -111,9 +111,11 @@ def sinflx(icall, ncall, cfg: PhysicsConfig, fl1, env, frc, flm,
 
     if lupdtus:
         if icall == 1:
-            # raise tail noise floor (sinflx.F90:112-115)
-            fl1 = fl1.at[:, -1, :].set(
-                jnp.maximum(fl1[:, -1, :], flm))
+            # raise tail noise floor (sinflx.F90:112-115); concat form —
+            # scalar-index update lowers to scatter, which Mosaic lacks
+            fl1 = jnp.concatenate(
+                [fl1[:, :-1, :],
+                 jnp.maximum(fl1[:, -1:, :], flm[:, None, :])], axis=1)
             if params.llgcbz0:
                 halp = gc_mod.halphap(
                     fl1, env["wavnum"], coswdif, tb, params)

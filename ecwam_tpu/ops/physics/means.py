@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ecwam_tpu.core import constants as c
 from ecwam_tpu.core import spectral as sp
+from ecwam_tpu.ops.physics.kernelmode import sidx
 
 
 def semean(fl1, tables, llepsmin: bool = True):
@@ -29,7 +30,7 @@ def semean(fl1, tables, llepsmin: bool = True):
     temp = jnp.sum(fl1, axis=0)                     # (nfre, npts)
     em = jnp.sum(dfim * temp, axis=0)
     delt25 = sp.WETAIL * tables.fr[-1] * tables.delth
-    em = em + jnp.asarray(delt25, dt) * temp[-1]
+    em = em + jnp.asarray(delt25, dt) * sidx(temp, -1, 0)
     if llepsmin:
         em = em + jnp.asarray(c.EPSMIN, dt)
     return em
@@ -49,8 +50,8 @@ def femean(fl1, tables):
     fm = jnp.sum(dfimofr * temp, axis=0)
     delt25 = sp.WETAIL * tables.fr[-1] * tables.delth
     delt2 = sp.FRTAIL * tables.delth
-    em = em + jnp.asarray(delt25, dt) * temp[-1]
-    fm = fm + jnp.asarray(delt2, dt) * temp[-1]
+    em = em + jnp.asarray(delt25, dt) * sidx(temp, -1, 0)
+    fm = fm + jnp.asarray(delt2, dt) * sidx(temp, -1, 0)
     fm = jnp.maximum(em / fm, jnp.asarray(tables.fr[0], dt))
     return em, fm
 
@@ -68,8 +69,8 @@ def femeanws(fl1, xllws, tables):
     fm = jnp.sum(dfimofr * temp, axis=0) + jnp.asarray(c.EPSMIN, dt)
     delt25 = sp.WETAIL * tables.fr[-1] * tables.delth
     delt2 = sp.FRTAIL * tables.delth
-    em = em + jnp.asarray(delt25, dt) * temp[-1]
-    fm = fm + jnp.asarray(delt2, dt) * temp[-1]
+    em = em + jnp.asarray(delt25, dt) * sidx(temp, -1, 0)
+    fm = fm + jnp.asarray(delt2, dt) * sidx(temp, -1, 0)
     fm = em / fm
     return em, fm
 
@@ -107,7 +108,7 @@ def fkmean(fl1, wavnum, tables):
     coefa = coefm1 * jnp.asarray(jnp.sqrt(c.G) / c.ZPI, dt)
     coefx = coef1 * jnp.asarray(c.ZPI / jnp.sqrt(c.G), dt)
 
-    t_last = temp2[-1]
+    t_last = sidx(temp2, -1, 0)
     em = em + delt25 * t_last
     fm1 = em / (fm1 + coefm1 * t_last)
     f1 = (f1 + coef1 * t_last) / em

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ecwam_tpu.core import constants as c
 from ecwam_tpu.core import physparams as pp
+from ecwam_tpu.ops.physics import kernelmode
 from ecwam_tpu.ops.physics import tables
 from ecwam_tpu.ops.physics.airsea import wsigstar
 
@@ -41,6 +42,9 @@ def _swellft_interp(zorb, dt):
     deli1 = jnp.minimum(1.0, xi - ind.astype(dt))
     deli2 = 1.0 - deli1
     # Fortran SWELLFT(IND) is table[ind-1] (our table drops the unused 0 slot)
+    if kernelmode.PALLAS_SAFE:
+        return (kernelmode.take_table(table, ind - 1) * deli2
+                + kernelmode.take_table(table, ind) * deli1)
     return table[ind - 1] * deli2 + table[ind] * deli1
 
 
@@ -107,22 +111,26 @@ def sinput_ard(fl1, wavnum, cinv, xk2cg,
         tauy = usg2 * jnp.cos(wdwave)[None, :]
         rogoroair = c.G / raorw
 
+    def _ix(a, i, axis=0):
+        return (kernelmode.sidx(a, i, axis) if isinstance(i, int)
+                else jnp.take(a, i, axis=axis))
+
     def per_freq(stress, m):
         """One frequency step; stress = (xstress, ystress) each (ngst, npts)."""
         xstress, ystress = stress
-        sig = zpifr[m]
+        sig = _ix(zpifr, m)
         sig2 = sig**2
         const = sig * const1
-        wav_m = wavnum[m]
-        cinv_m = cinv[m]
-        fl1_m = jnp.take(fl1, m, axis=1)             # (nang, npts)
+        wav_m = _ix(wavnum, m)
+        cinv_m = _ix(cinv, m)
+        fl1_m = _ix(fl1, m, axis=1)                  # (nang, npts)
 
         if ltauwshelter:
             taupx = taux - abs_tauwshelter * xstress
             taupy = tauy - abs_tauwshelter * ystress
-            usdirp = jnp.arctan2(taupx, taupy)       # (ngst, npts)
+            usdirp = kernelmode.arctan2(taupx, taupy)  # (ngst, npts)
             ustp = (taupx**2 + taupy**2) ** 0.25
-            constf = rogoroair * cinv_m * dfim[m]
+            constf = rogoroair * cinv_m * _ix(dfim, m)
         else:
             ustp = ustp0
         ustpm1 = 1.0 / jnp.maximum(ustp, jnp.asarray(c.EPSUS, dt))
@@ -144,12 +152,12 @@ def sinput_ard(fl1, wavnum, cinv, xk2cg,
         xstress_new, ystress_new = [], []
         for igst in range(ngst):
             if ltauwshelter:
-                coslp = jnp.cos(th - usdirp[igst][None, :])
+                coslp = jnp.cos(th - kernelmode.sidx(usdirp, igst)[None, :])
             else:
                 coslp = coswdif
             # growth rate (sinput_ard.F90:337-351)
-            x = coslp * ucn[igst][None, :]
-            zlog = zcn[None, :] + ucnzalpd[igst][None, :] / jnp.where(
+            x = coslp * kernelmode.sidx(ucn, igst)[None, :]
+            zlog = zcn[None, :] + kernelmode.sidx(ucnzalpd, igst)[None, :] / jnp.where(
                 coslp > 0.01, coslp, 1.0)
             active = (coslp > 0.01) & (zlog < 0.0)
             zlog2x = zlog * zlog * x
@@ -160,14 +168,14 @@ def sinput_ard(fl1, wavnum, cinv, xk2cg,
             if params.llnormagam:
                 sumf = jnp.sum(gam0 * fl1_m, axis=0)
                 sumfsin2 = jnp.sum(gam0 * fl1_m * sinwdif2, axis=0)
-                znz = cstrnfac * xk2cg[m] * ustpm1[igst]
+                znz = cstrnfac * _ix(xk2cg, m) * kernelmode.sidx(ustpm1, igst)
                 gamnorma = (1.0 + znz * sumfsin2) / (1.0 + znz * sumf)
             else:
                 gamnorma = jnp.ones((npts,), dt)
 
             if llsneg:
                 dstab2 = temp1[None, :] * (
-                    temp2[None, :] + (fu + fud * coslp) * ustp[igst][None, :])
+                    temp2[None, :] + (fu + fud * coslp) * kernelmode.sidx(ustp, igst)[None, :])
                 dstab = dstab1[None, :] + pturb[None, :] * dstab2
             else:
                 dstab = jnp.zeros((nang, npts), dt)
@@ -177,9 +185,9 @@ def sinput_ard(fl1, wavnum, cinv, xk2cg,
             slp = slp * fl1_m
             if ltauwshelter:
                 xstress_new.append(
-                    xstress[igst] + jnp.sum(slp * sinth, axis=0) * constf)
+                    kernelmode.sidx(xstress, igst) + jnp.sum(slp * sinth, axis=0) * constf)
                 ystress_new.append(
-                    ystress[igst] + jnp.sum(slp * costh, axis=0) * constf)
+                    kernelmode.sidx(ystress, igst) + jnp.sum(slp * costh, axis=0) * constf)
             spos_sum = spos_sum + slp
             fld_sum = fld_sum + flp
 
@@ -193,6 +201,15 @@ def sinput_ard(fl1, wavnum, cinv, xk2cg,
         return (xstress, ystress), (fld_m, sl_m, spos_m, xllws_m)
 
     zeros = jnp.zeros((ustp0.shape[0], npts), dt)
+    if kernelmode.PALLAS_SAFE:
+        # unrolled frequency loop (Mosaic: no scan with stacked outputs);
+        # nfre is a compile-time constant so the slices are static
+        stress, outs = (zeros, zeros), []
+        for m in range(nfre):
+            stress, out_m = per_freq(stress, m)
+            outs.append(out_m)
+        stk = lambda i: jnp.stack([o[i] for o in outs], axis=1)
+        return stk(0), stk(1), stk(2), stk(3)
     (_, _), (fld, sl, spos, xllws) = jax.lax.scan(
         per_freq, (zeros, zeros), jnp.arange(nfre))
     # stacked (nfre, nang, npts) → (nang, nfre, npts)
@@ -236,7 +253,7 @@ def sinput_jan(fl1, wavnum, cinv, xk2cg,
     ufac2 = jnp.zeros((nang, nfre, npts), dt)
     xllws = jnp.zeros((nang, nfre, npts), dt)
     for igst in range(len(wsin)):
-        us_g = us[igst]
+        us_g = kernelmode.sidx(us, igst)
         ucn = us_g[None, :] * cinv + params.zalp     # (nfre, npts)
         const3_ucn2 = const3 * ucn**2
         ucnd = 1.0 / ucn
@@ -255,7 +272,7 @@ def sinput_jan(fl1, wavnum, cinv, xk2cg,
         if params.llnormagam:
             sumf = jnp.sum(gam0 * fl1, axis=0)       # (nfre, npts)
             sumfsin2 = jnp.sum(gam0 * fl1 * sinwdif2[:, None, :], axis=0)
-            znz = (cstrnfac[None, :] * xk2cg) * ustpm1[igst][None, :]
+            znz = (cstrnfac[None, :] * xk2cg) * kernelmode.sidx(ustpm1, igst)[None, :]
             gamnorma = (1.0 + znz * sumfsin2) / (1.0 + znz * sumf)
         else:
             gamnorma = jnp.ones((nfre, npts), dt)

@@ -11,9 +11,12 @@ Layout: fl1 (nang, nfre, npts); per-frequency env fields (nfre, npts).
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ecwam_tpu.core import constants as c
+from ecwam_tpu.ops.physics import kernelmode
+from ecwam_tpu.ops.physics.kernelmode import sidx
 from ecwam_tpu.ops.physics.tail_ice import FLMIN
 
 STMAX = 1.5                  # Stokes magnitude cap (stokesdrift.F90:78)
@@ -41,14 +44,16 @@ def stokesdrift(fl1, stokfac, wswave, wdwave, cicover, tb, *,
 
     stfac = (stokfac[:nfre_odd] *
              jnp.asarray(tb.dfim_sim[:nfre_odd], dt)[:, None])
-    sinth = jnp.asarray(tb.sinth, dt)[:, None, None]
-    costh = jnp.asarray(tb.costh, dt)[:, None, None]
+    # pre-shaped in numpy: a (nang,)->(nang,1,1) reshape of a
+    # traced value is the one layout cast Mosaic rejects
+    sinth = jnp.asarray(np.asarray(tb.sinth)[:, None, None], dt)
+    costh = jnp.asarray(np.asarray(tb.costh)[:, None, None], dt)
     fac3 = stfac[None, :, :] * fl1[:, :nfre_odd]
     ustokes = jnp.sum(fac3 * sinth, axis=(0, 1))
     vstokes = jnp.sum(fac3 * costh, axis=(0, 1))
 
     # unresolved-tail contribution (stokesdrift.F90:115-123)
-    tail = fl1[:, nfre_odd - 1]                       # (nang, npts)
+    tail = sidx(fl1, nfre_odd - 1, 1)                       # (nang, npts)
     ustokes = ustokes + const * jnp.sum(
         jnp.asarray(tb.sinth, dt)[:, None] * tail, axis=0)
     vstokes = vstokes + const * jnp.sum(
@@ -82,7 +87,7 @@ def aki_ice(xk, depth, cith):
     def body(_, aki):
         akid = jnp.minimum(depth[None, :] * aki, 50.0)
         tanh_ = jnp.tanh(akid)
-        sinh2 = jnp.sinh(akid) ** 2
+        sinh2 = kernelmode.sinh(akid) ** 2
         f = ficstf * aki**5 + c.G * aki - om2 * (rdh * aki + 1.0 / tanh_)
         fp = 5.0 * ficstf * aki**4 + c.G - om2 * (rdh - depth[None, :] / sinh2)
         nxt = aki - f / fp

@@ -16,11 +16,13 @@ from __future__ import annotations
 import math
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ecwam_tpu.core import constants as c
 from ecwam_tpu.core import physparams as pp
 from ecwam_tpu.core import spectral as sp
+from ecwam_tpu.ops.physics import kernelmode
 from ecwam_tpu.ops.physics import tables
 from ecwam_tpu.ops.physics.airsea import EPS1
 
@@ -73,8 +75,12 @@ def tau_phi_hf(mij, ufric, z0m, fl1, aird, rnfac, coswdif, sinwdif2,
     wtauhf = jnp.asarray(wtauhf, dt)
     x0g = x0tauhf * c.G
 
-    fr5_mij = jnp.asarray(tb.fr5, dt)[mij]             # (npts,)
-    zpifr_mij = jnp.asarray(tb.zpifr, dt)[mij]
+    if kernelmode.PALLAS_SAFE:
+        fr5_mij = kernelmode.take_table(jnp.asarray(tb.fr5, dt), mij)
+        zpifr_mij = kernelmode.take_table(jnp.asarray(tb.zpifr, dt), mij)
+    else:
+        fr5_mij = jnp.asarray(tb.fr5, dt)[mij]         # (npts,)
+        zpifr_mij = jnp.asarray(tb.zpifr, dt)[mij]
 
     xloggz0 = jnp.log(c.G * z0m)
     omegacc = jnp.maximum(zpifr_mij, x0g / ust)
@@ -92,9 +98,27 @@ def tau_phi_hf(mij, ufric, z0m, fl1, aird, rnfac, coswdif, sinwdif2,
 
     consttau = c.ZPI4GM2 * fr5_mij
 
+    def _jloop(body, init):
+        # Mosaic kernels: unrolled (jtot=19 static) so the Simpson
+        # weight lookup wtauhf[j] is a static slice
+        if kernelmode.PALLAS_SAFE:
+            carry = init
+            for j in range(jtot):
+                carry = body(j, carry)
+            return carry
+        return jax.lax.fori_loop(0, jtot, body, init)
+
+    def _wj(j):
+        return (kernelmode.sidx(wtauhf, j) if isinstance(j, int)
+                else wtauhf[j])
+
     # direction sums at the cut frequency (tau_phi_hf.F90:97-125)
-    fl1_mij = jnp.take_along_axis(
-        fl1, mij[None, None, :].astype(jnp.int32), axis=1)[:, 0, :]  # (nang, npts)
+    if kernelmode.PALLAS_SAFE:
+        fl1_mij = kernelmode.take_freq_at(fl1, mij, axis=1)  # (nang, npts)
+    else:
+        fl1_mij = jnp.take_along_axis(
+            fl1, mij[None, None, :].astype(jnp.int32),
+            axis=1)[:, 0, :]                                 # (nang, npts)
     cosw = jnp.maximum(coswdif, 0.0)
     fcosw2 = fl1_mij * cosw**2
     f1dcos3 = tb.delth * jnp.sum(fcosw2 * cosw, axis=0)
@@ -131,19 +155,18 @@ def tau_phi_hf(mij, ufric, z0m, fl1, aird, rnfac, coswdif, sinwdif2,
             znz = zbeta * ust_c * y
             gamnorma = (1.0 + const1 * znz) / (1.0 + const2 * znz)
             fnc2 = (f1dcos3 * consttau * zbeta * taul
-                    * wtauhf[j] * delz * gamnorma)
+                    * _wj(j) * delz * gamnorma)
             taul = jnp.maximum(taul - params.tauwshelter * fnc2, 0.0)
             return taul, jnp.sqrt(taul), tauhf + fnc2
-        _, ust_out, tauhf = jax.lax.fori_loop(
-            0, jtot, body, (taul0, ust, jnp.zeros_like(ust)))
+        _, ust_out, tauhf = _jloop(body, (taul0, ust, jnp.zeros_like(ust)))
     else:
         def body(j, carry):
             acc, = carry
             zbeta, y = zbeta_at(j, ust)
             znz = zbeta * ust * y
             gamnorma = (1.0 + const1 * znz) / (1.0 + const2 * znz)
-            return (acc + zbeta * wtauhf[j] * gamnorma,)
-        acc, = jax.lax.fori_loop(0, jtot, body, (jnp.zeros_like(ust),))
+            return (acc + zbeta * _wj(j) * gamnorma,)
+        acc, = _jloop(body, (jnp.zeros_like(ust),))
         tauhf = f1dcos3 * consttau * taul0 * acc * delz
         ust_out = ust
 
@@ -158,12 +181,11 @@ def tau_phi_hf(mij, ufric, z0m, fl1, aird, rnfac, coswdif, sinwdif2,
                 zbeta, y = zbeta_at(j, ustph, delz_phi)
                 znz = zbeta * ust_out * y
                 gamnorma = (1.0 + const1 * znz) / (1.0 + const2 * znz)
-                fnc2 = zbeta * taul * wtauhf[j] * delz_phi * gamnorma
+                fnc2 = zbeta * taul * _wj(j) * delz_phi * gamnorma
                 taul = jnp.maximum(
                     taul - params.tauwshelter * f1dcos3 * consttau * fnc2, 0.0)
                 return taul, jnp.sqrt(taul), acc + fnc2 / y
-            _, _, acc = jax.lax.fori_loop(
-                0, jtot, bodyp, (ust**2, ust, jnp.zeros_like(ust)))
+            _, _, acc = _jloop(bodyp, (ust**2, ust, jnp.zeros_like(ust)))
             phihf = f1dcos2 * constphi * sqrtz0og * acc
         else:
             def bodyp(j, carry):
@@ -171,8 +193,8 @@ def tau_phi_hf(mij, ufric, z0m, fl1, aird, rnfac, coswdif, sinwdif2,
                 zbeta, y = zbeta_at(j, ust, delz_phi)
                 znz = zbeta * ust * y
                 gamnorma = (1.0 + const1 * znz) / (1.0 + const2 * znz)
-                return (acc + zbeta * wtauhf[j] * gamnorma / y,)
-            acc, = jax.lax.fori_loop(0, jtot, bodyp, (jnp.zeros_like(ust),))
+                return (acc + zbeta * _wj(j) * gamnorma / y,)
+            acc, = _jloop(bodyp, (jnp.zeros_like(ust),))
             phihf = f1dcos2 * constphi * sqrtz0og * taulp0 * acc * delz_phi
     return tauhf, phihf, ust_out
 
@@ -187,8 +209,10 @@ def stresso(fl1, sl, spos, cinv, mij, rhowgdfth,
     Returns (tauw, tauwdir, phiwa).
     """
     dt = fl1.dtype
-    sinth = jnp.asarray(tb.sinth, dt)[:, None, None]
-    costh = jnp.asarray(tb.costh, dt)[:, None, None]
+    # pre-shaped in numpy: a (nang,)->(nang,1,1) reshape of a
+    # traced value is the one layout cast Mosaic rejects
+    sinth = jnp.asarray(np.asarray(tb.sinth)[:, None, None], dt)
+    costh = jnp.asarray(np.asarray(tb.costh)[:, None, None], dt)
     rhowg_dfim = jnp.asarray(tb.rhowg_dfim, dt)[:, None]
 
     phiwa = jnp.zeros(fl1.shape[-1], dt)
@@ -216,7 +240,7 @@ def stresso(fl1, sl, spos, cinv, mij, rhowgdfth,
         tauy = ufric**2 * jnp.cos(wdwave)
         taupx = taux - params.tauwshelter * xstress
         taupy = tauy - params.tauwshelter * ystress
-        usdirp = jnp.arctan2(taupx, taupy)
+        usdirp = kernelmode.arctan2(taupx, taupy)
         ust = (taupx**2 + taupy**2) ** 0.25
     else:
         usdirp = wdwave
@@ -230,7 +254,7 @@ def stresso(fl1, sl, spos, cinv, mij, rhowgdfth,
     xstress = xstress + tauhf * jnp.sin(usdirp)
     ystress = ystress + tauhf * jnp.cos(usdirp)
     tauw = jnp.sqrt(xstress**2 + ystress**2)
-    tauwdir = jnp.arctan2(xstress, ystress)
+    tauwdir = kernelmode.arctan2(xstress, ystress)
     if not params.llgcbz0:
         tauw = jnp.minimum(tauw, ufric**2 / (1.0 + EPS1))
     if llphiwa:

@@ -14,6 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ecwam_tpu.core import constants as c
+from ecwam_tpu.ops.physics import kernelmode
 
 FLMIN = 0.00001          # minimum spectral energy (yowice.F90:22)
 CITHRSH = 0.3            # ice mask threshold, LMASKICE=T (userin.F90:958)
@@ -27,10 +28,15 @@ def imphftail(fl1, mij, flm, wavnum, xk2cg):
     """
     nang, nfre, npts = fl1.shape
     tailinv = 1.0 / (xk2cg * wavnum)                  # (nfre, npts)
-    t_mij = jnp.take_along_axis(tailinv, mij[None, :], axis=0)[0]   # (npts,)
+    if kernelmode.PALLAS_SAFE:
+        t_mij = kernelmode.take_freq_at(tailinv, mij, axis=0)
+        fl1_mij = kernelmode.take_freq_at(fl1, mij, axis=1)
+    else:
+        t_mij = jnp.take_along_axis(
+            tailinv, mij[None, :], axis=0)[0]         # (npts,)
+        fl1_mij = jnp.take_along_axis(
+            fl1, mij[None, None, :], axis=1)[:, 0, :]  # (nang, npts)
     ratio = tailinv / t_mij[None, :]
-    fl1_mij = jnp.take_along_axis(
-        fl1, mij[None, None, :], axis=1)[:, 0, :]     # (nang, npts)
     tail = jnp.maximum(ratio[None, :, :] * fl1_mij[:, None, :],
                        flm[:, None, :])
     m_idx = jnp.arange(nfre)[None, :, None]

@@ -12,7 +12,15 @@ import numpy as np
 from ecwam_tpu.core import grid as grid_mod
 
 HBM_BYTES = 15.75e9            # v5e usable HBM (compiler-reported)
-S, WD = 256, 12                # fused-layout segment size / wrap depth
+WD = 12                        # fused-layout wrap depth
+
+
+def _seg_size(ngx: int) -> int:
+    """Production segment size — same formula as setup.build_model."""
+    return 1 << max(4, min(7, int(np.log2(max(16, ngx // 4)))))
+
+
+S = _seg_size(4 * 1280 + 16)   # O1280 rows are >512 points → the 128 cap
 NANG, NFRE = 36, 29
 
 

@@ -132,6 +132,59 @@ def test_hour_units_and_cadence_defaulting():
     assert cfg.run.restart_times == (dt.datetime(2022, 1, 2),)
 
 
+def test_amp_end_group_terminator():
+    # '&END' / '$end' close the group; the group content must survive
+    # (the tokenizer used to eat it as a new group named 'end')
+    for term in ("&END", "&end", "$END", "$end"):
+        g = nml.parse_namelist(f"&NALINE NANG=24, NFRE=25 {term}")
+        assert "end" not in g
+        assert g["naline"][0] == {"nang": 24, "nfre": 25}
+
+
+def test_idelwi_default_not_double_scaled():
+    # CLMTSU='H' with IDELT=1 h and IDELWI unset: the forcing window
+    # timestep must default to the converted 3600 s, not 3600*3600
+    # (mpuserin.F90:1020-1023 scales raw user values only)
+    cfg = nml.namelist_to_config("""
+&NALINE
+ CBPLTDT="20220101000000", CEPLTDT="20220102000000",
+ CLMTSU = 4*'H', IDELPRO=1, IDELT=1,
+/
+""")
+    assert cfg.run.forcing_windows[0].timestep == 3600.0
+
+
+def test_naot_dates_reach_run_output_config():
+    # explicit &NAOT dates + GFLAG field selection must land in the
+    # RunConfig the CLI consumes (cfg.run), not only in the side lists
+    cfg = nml.namelist_to_config(REFERENCE_STYLE)
+    assert cfg.run.output_dates() == [dt.datetime(2022, 1, 1, 3)]
+    assert cfg.run.output_fields is not None
+    names = cfg.run.output_fields.names
+    assert len(names) >= 2          # GFLAG(1)=T GFLAG(2)=T
+    assert cfg.run.nfre_red is None or cfg.run.nfre_red <= 36
+
+
+def test_nfre_red_reaches_build_kwargs():
+    base = ('&NALINE CBPLTDT="20220101000000", '
+            'CEPLTDT="20220101060000", NFRE=36, NFRE_RED=29 /')
+    cfg = nml.namelist_to_config(base)
+    assert cfg.run.frequencies == 36
+    assert cfg.run.nfre_red == 29
+    assert cfg.run.build_kwargs()["nfre_red"] == 29
+
+
+def test_yaml_physics_frequencies_split():
+    from ecwam_tpu.config.schema import RunConfig
+    run = RunConfig.from_dict({
+        "grid": "O48", "directions": 36, "frequencies": 29,
+        "physics_frequencies": 36,
+        "begin": "2022-01-01 00:00:00", "end": "2022-01-01 06:00:00"})
+    assert run.frequencies == 36 and run.nfre_red == 29
+    kw = run.build_kwargs()
+    assert kw["nfre"] == 36 and kw["nfre_red"] == 29
+
+
 def test_unknown_variable_raises():
     with pytest.raises(ValueError, match="unknown NALINE"):
         nml.namelist_to_config(

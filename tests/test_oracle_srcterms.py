@@ -229,10 +229,17 @@ def test_taut_z0_oracle(tb, iusfg, llcapchnk):
     oust, oz0, oz0b, ochrnck = osrc.taut_z0(
         iusfg, np.zeros(NPTS), f["wswave"], f["wdwave"], tauw, tauwdir,
         f["rnfac"], f["ufric"], params)
-    check(gust, oust, "ustar")
-    check(gz0, oz0, "z0")
-    check(gz0b, oz0b, "z0b")
-    check(gchrnck, ochrnck, "chrnck")
+    # rtol 1e-8, not the global 1e-11: a sub-ulp codegen difference can
+    # flip one point across the Newton early-exit threshold for one
+    # extra/fewer iteration (~1e-10 relative near the fixed point)
+    check(gust, oust, "ustar", rtol=1e-8)
+    check(gz0, oz0, "z0", rtol=1e-8)
+    check(gz0b, oz0b, "z0b", rtol=1e-8)
+    check(gchrnck, ochrnck, "chrnck", rtol=1e-8)
+
+
+def check_gc(got, want, name):
+    check(got, want, name, rtol=1e-8)   # Newton early-exit flips (see above)
 
 
 def test_taut_z0_gc_oracle(tb):

@@ -165,7 +165,10 @@ def test_snonlin_conserves_energy_exactly_in_interior(setup):
         tot = float(jnp.sum(sl[:, :, 0] * w[:, :, 0]))
         scale = float(jnp.sum(jnp.abs(sl[:, :, 0]) * w[:, :, 0]))
         assert scale > 0
-        tol = 1e-12 if fl1.dtype == jnp.float64 else 1e-5
+        # f32 bound reflects reduction-order noise: ~9k summed
+        # terms of magnitude `scale` carry ≥ O(100·eps) relative
+        # cancellation noise, and CPU-XLA reassociation varies
+        tol = 1e-12 if fl1.dtype == jnp.float64 else 3e-4
         assert abs(tot) / scale < tol, (nm, tot, scale)
 
     # broad spectrum: tail leakage stays in the physical 0.2-0.4 band
