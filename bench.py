@@ -6,26 +6,28 @@ Prints ONE JSON line:
 
 Metric: grid-points × spectral-bins advanced per second for one advection
 step at the operational cadence — advection every step, physics every
-``idelt/idelpro`` steps — at the O1280 spectral resolution (36 dirs ×
-29 freqs, Δt 450/900 s; BASELINE.md problem sizes), on the largest grid
-from the ladder that fits this chip, using the FUSED weights+stencil
-propagation (ops/propagation_fused.py; Pallas kernel on TPU) with
-SRL-resident advection state.
+``idelt/idelpro`` steps — at the O1280 operational spectrum (36 dirs ×
+NFRE=36 physics / NFRE_RED=29 advected, the reference's split from
+ecwam_run_model.sh:213-214; Δt 450/900 s; BASELINE.md problem sizes), on
+the largest grid from the ladder that fits this chip, using the FUSED
+weights+stencil Pallas propagation (ops/propagation_pallas.py) and the
+FUSED Pallas IMPLSCH physics kernel (ops/physics/implsch_pallas.py) on
+SRL-resident state — the production architecture, not a bench special.
 
-``vs_baseline`` is an HONEST fraction-of-roofline: modelled HBM bytes per
-step over the measured step time, divided by this chip's MEASURED stream
-bandwidth (a saturating triad timed in the same process).  The byte model
-is the fused path's actual traffic (3 window reads + 1 write per point
-per pass + tables; physics ≈30 spectrum passes), itemized in the output
-so it can be audited.
+``vs_baseline`` is an HONEST fraction-of-roofline: modelled minimum
+time over measured time, where the advection model is its HBM bytes
+over the measured stream bandwidth (memory-bound by design) and the
+physics model is max(bytes/BW, arith/FMA-rate + transcendentals/exp-
+rate) with op counts taken from the traced kernel jaxpr and both rates
+MEASURED in-process — every term is printed for audit.
 
 This script NEVER exits non-zero for capacity reasons: it degrades down
 a grid ladder (and finally a tiny CPU-sized grid), reporting the best
 achieved configuration with "degraded": true.
 
 Env knobs: ECWAVE_BENCH_GRID (skip auto-sizing), ECWAVE_BENCH_STEPS,
-ECWAVE_BENCH_MODE (fused|fused-xla|otf|cached),
-ECWAVE_BENCH_PROFILE=dir (jax.profiler trace of the timed loop).
+ECWAVE_BENCH_PROFILE=dir (jax.profiler trace of the timed loop),
+ECWAVE_BENCH_SPECTRUM=red (legacy NFRE=NFRE_RED=29 spectrum).
 """
 
 import functools
@@ -76,30 +78,138 @@ def measure_stream_bw(jax, jnp, nbytes=2 << 30):
     return 3.0 * n * 4 / dt
 
 
+def measure_vpu_flops(jax, jnp, n=1 << 24, chain=128, lanes=4):
+    """Measured elementwise arithmetic throughput (flops/s): ``lanes``
+    independent LOGISTIC-MAP chains (3 flops + 2 scalings per step,
+    counted as 5; non-affine so XLA cannot algebraically collapse the
+    chain the way it folds an FMA ladder, and with enough ILP to cover
+    pipeline latency).  Measures ~2.7 Tflop/s on v5e (calibrated
+    2026-08; a collapsible probe reads 10x low)."""
+    x = jnp.full(n, 0.6180339887, jnp.float32)
+
+    @jax.jit
+    def f(x):
+        accs = [x * (1.0 - 1e-6 * i) for i in range(lanes)]
+        for _ in range(chain):
+            accs = [3.6 * a * (1.0 - a) * 0.2777778 + 0.18
+                    for a in accs]
+        out = accs[0]
+        for a in accs[1:]:
+            out = out + a
+        return out / (lanes + 1e-3)
+
+    sync(jax, jnp, f(x))
+    reps = 16
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        x = f(x)
+    sync(jax, jnp, x)
+    dt = (time.perf_counter() - t0) / reps
+    return 5.0 * chain * lanes * n / dt
+
+
+def measure_trans_rate(jax, jnp, n=1 << 24, chain=64, lanes=4):
+    """Measured transcendental throughput (exp ops/s, ILP chains;
+    ~700 G/s on v5e)."""
+    x = jnp.full(n, 0.5, jnp.float32)
+
+    @jax.jit
+    def exps(x):
+        accs = [x * (1.0 + 1e-6 * i) for i in range(lanes)]
+        for _ in range(chain):
+            accs = [jnp.exp(-a) for a in accs]
+        out = accs[0]
+        for a in accs[1:]:
+            out = out + a
+        return out / (lanes + 1e-3)
+
+    sync(jax, jnp, exps(x))
+    reps = 16
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        x = exps(x)
+    sync(jax, jnp, x)
+    dt = (time.perf_counter() - t0) / reps
+    return chain * lanes * n / dt
+
+
+# transcendental-class primitives (counted separately and costed at the
+# MEASURED transcendental rate, not by guessed op-equivalent weights)
+_TRANS = {"exp", "log", "tanh", "sin", "cos", "atan2", "atan", "pow",
+          "sinh", "cosh", "logistic", "erf", "sqrt", "rsqrt", "div"}
+_ZERO_COST = {"reshape", "squeeze", "broadcast_in_dim", "slice",
+              "concatenate", "transpose", "convert_element_type",
+              "dynamic_slice", "dynamic_update_slice", "copy", "pad",
+              "iota", "rev", "gather", "bitcast_convert_type",
+              "stop_gradient", "custom_jvp_call", "custom_vjp_call"}
+
+
+def jaxpr_flops(jaxpr):
+    """(arith_ops, transcendental_ops) element counts of a jaxpr —
+    audits the physics roofline; costed at separately MEASURED rates."""
+    import numpy as _np
+    arith = 0.0
+    trans = 0.0
+    for eq in jaxpr.eqns:
+        name = eq.primitive.name
+        sub = None
+        length = 1
+        for k, v in eq.params.items():
+            vs = v if isinstance(v, (list, tuple)) else [v]
+            for vv in vs:
+                if hasattr(vv, "jaxpr"):
+                    sub = vv.jaxpr if hasattr(vv.jaxpr, "eqns") else vv
+                elif hasattr(vv, "eqns"):
+                    sub = vv
+        if name == "scan":
+            length = eq.params.get("length", 1)
+        if sub is not None:
+            a, t = jaxpr_flops(sub)
+            arith += length * a
+            trans += length * t
+            continue
+        if name in _ZERO_COST:
+            continue
+        out_elems = max((int(_np.prod(v.aval.shape)) for v in eq.outvars),
+                        default=0)
+        if name == "dot_general":
+            a, b = (eq.invars[0].aval.shape, eq.invars[1].aval.shape)
+            k = eq.params["dimension_numbers"][0][0]
+            kdim = int(_np.prod([a[i] for i in k])) if k else 1
+            arith += 2.0 * out_elems * kdim
+        elif name.startswith("reduce"):
+            arith += max((int(_np.prod(v.aval.shape))
+                          for v in eq.invars), default=0)
+        elif name in _TRANS:
+            trans += out_elems
+        else:
+            arith += out_elems
+    return arith, trans
+
+
 def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def run_fused(grid_name, steps, profile_dir, nang=36, nfre=29,
-              idelpro=450.0, idelt=900.0):
+def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
+              nfre_red=29, idelpro=450.0, idelt=900.0):
     import jax
     import jax.numpy as jnp
     import numpy as np
     from ecwam_tpu.model import setup as setup_mod
     from ecwam_tpu.model import preset, stepper as stepper_mod
     from ecwam_tpu.model.fusedstep import FusedPropagation
+    from ecwam_tpu.ops.physics import implsch_pallas as ipk
 
-    log(f"building {grid_name} (fused)")
+    if os.environ.get("ECWAVE_BENCH_SPECTRUM") == "red":
+        nfre = nfre_red                  # legacy all-advected spectrum
+
+    log(f"building {grid_name} (fused, nfre {nfre}/{nfre_red})")
     t0 = time.time()
-    # physics chunk: the implsch intermediates are ~30 arrays of
-    # (chunk, L) — 32768 chunks cost ~4 GB of peak HBM, which is what
-    # the 1M-point shapes cannot spare; 8192 bounds them at ~1 GB and
-    # the on-device lax.map loop has no host dispatch to amortize
-    chunk = 8192
     ms = setup_mod.build_model(
-        grid_name=grid_name, nang=nang, nfre=nfre,
-        idelpro=idelpro, idelt=idelt, pad_to=chunk, dtype=jnp.float32,
-        weights_mode="fused", phys_chunk=chunk)
+        grid_name=grid_name, nang=nang, nfre=nfre, nfre_red=nfre_red,
+        idelpro=idelpro, idelt=idelt, pad_to=8192, dtype=jnp.float32,
+        weights_mode="fused")
     ft = ms.fused
     log(f"built in {time.time()-t0:.0f}s: n_real={ms.n_real} "
         f"nsrl={ft.nsrl} S={ft.S} EW={ft.EW}")
@@ -109,6 +219,7 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=29,
     log(f"tables on device in {time.time()-t0:.0f}s "
         f"(backend {fp.backend})")
     n = ms.n_pad
+    nsrl = ft.nsrl
     rng = np.random.default_rng(0)
     wswave = 8.0 + 4.0 * rng.random(n)
     wdwave = rng.random(n) * 2.0 * np.pi
@@ -124,32 +235,50 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=29,
     frc_h = dict(wswave=wswave, wdwave=wdwave)
     stress = stepper_mod.initial_stress(ms, frc_h)
     log("stress on device")
-    env = {k: ms.env[k] for k in stepper_mod.ENV_KEYS}
+
+    # SRL-ordered physics inputs (one jitted device gather)
+    t0 = time.time()
+    env2d, denv, frc6, stress6 = fp.build_phys_srl(frc, stress)
+    env2d.block_until_ready()
+    log(f"phys SRL inputs in {time.time()-t0:.0f}s")
 
     # initial state built HOST-SIDE directly in the SRL layout: one
     # device push, no compact copy resident on device (at the 1M-point
-    # shapes the compact+SRL duplication would not fit HBM)
+    # shapes the compact+SRL duplication would not fit HBM).  MSTART in
+    # k-major lane order: spread(th)⊗jonswap(fr) is already
+    # (npts, nang, nfre) — the (nang, nfre, npts) detour costs a strided
+    # 4.5 GB f64 transpose+concat+pad chain (~3 min at O512)
     t0 = time.time()
-    # MSTART directly in k-major lane order: spread(th)⊗jonswap(fr) is
-    # already (npts, nang, nfre) — the (nang, nfre, npts) detour costs
-    # a strided 4.5 GB f64 transpose+concat+pad chain (~3 min at O512)
-    L = ms.tb.nang * ms.tb.nfre_red
+    L = nang * nfre_red
     LPb = fp.LP if fp.backend == "pallas" else fp.L
+    LT = nang * (nfre - nfre_red)
+    LTP = -(-LT // 128) * 128 if LT else 0
     fpk, alphaj = preset.peak(wswave, 50000.0, 0.2)
     et = np.asarray(preset.jonswap_1d(ms.tb.fr, fpk, alphaj,
-                                      3.0, 0.07, 0.09),
-                    np.float32)[:, : ms.tb.nfre_red]
+                                      3.0, 0.07, 0.09), np.float32)
     st_sp = np.asarray(preset.spread(ms.tb.th, wdwave), np.float32)
+    src = np.asarray(ft.srl_src)
+    full = st_sp[:, :, None] * et[:, None, :]        # (n, nang, nfre)
     fll = np.zeros((n + 1, LPb), np.float32)
-    fll[:n, :L] = (st_sp[:, :, None] * et[:, None, :]).reshape(n, L)
-    f_srl_np = fll[np.asarray(ft.srl_src)]
-    del fll, et, st_sp
+    fll[:n, :L] = full[:, :, :nfre_red].reshape(n, L)
+    f_srl_np = fll[src]
+    tail_np = None
+    if LT:
+        tl = np.zeros((n + 1, LTP), np.float32)
+        tl[:n, :LT] = full[:, :, nfre_red:].reshape(n, LT)
+        tail_np = tl[src]
+    del fll, et, st_sp, full
     log(f"initial SRL state built in {time.time()-t0:.0f}s "
         f"({f_srl_np.nbytes/1e9:.1f} GB)")
     t0 = time.time()
     f_srl = jnp.asarray(f_srl_np)
     f_srl.block_until_ready()
     del f_srl_np
+    tail = None
+    if tail_np is not None:
+        tail = jnp.asarray(tail_np)
+        tail.block_until_ready()
+        del tail_np
     log(f"pushed in {time.time()-t0:.0f}s")
 
     # donate: without aliasing, wrap-refresh + kernel output hold THREE
@@ -158,18 +287,25 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=29,
     def adv_srl(f_srl, bundle):
         return fp.advect_srl(f_srl, bundle)
 
-    # SRL-resident physics: gathers/integrates/scatters each chunk in
-    # place (donated) — the compact round trip costs ~9 GB of extra
-    # peak HBM at 1M-point shapes and killed the O512 physics compile
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def phys_srl(f_srl, frc, stress, env, bundle):
-        return fp.phys_srl_chunked(f_srl, frc, stress, env, bundle,
-                                   chunk=chunk)
+    # fused Pallas physics on SRL-resident state: one spectrum
+    # read+write instead of the round-3 ~30 XLA passes
+    if LT:
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def phys_srl(f_srl, tail, stress6, frc6, denv, env2d):
+            f, s6, tl = fp.phys_srl_pallas(f_srl, stress6, frc6, denv,
+                                           env2d, tail)
+            return f, tl, s6
+    else:
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def phys_srl(f_srl, stress6, frc6, denv, env2d):
+            out, s6 = fp.phys_srl_pallas(f_srl, stress6, frc6, denv,
+                                         env2d)
+            return out, None, s6
 
     def xla_bytes(jfn, *args):
         """XLA cost-analysis 'bytes accessed' (audits the hand model;
         NaN when unavailable; Pallas custom-call internals are NOT
-        counted, so this can undercount the fused kernel)."""
+        counted, so this undercounts both fused kernels)."""
         try:
             absargs = jax.tree.map(
                 lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
@@ -189,7 +325,13 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=29,
     log(f"advection compile+first {time.time()-t0:.0f}s")
     log("compiling physics")
     t0 = time.time()
-    f_srl, state = phys_srl(f_srl, frc, stress, env, bundle)
+
+    def phys_call(f_srl, tail, stress6):
+        if LT:
+            return phys_srl(f_srl, tail, stress6, frc6, denv, env2d)
+        return phys_srl(f_srl, stress6, frc6, denv, env2d)
+
+    f_srl, tail, stress6 = phys_call(f_srl, tail, stress6)
     sync(jax, jnp, f_srl)
     log(f"physics compile+first {time.time()-t0:.0f}s")
 
@@ -197,13 +339,11 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=29,
         jax.profiler.start_trace(profile_dir)
 
     # cadence pairs: 2 advection steps + 1 physics step each
-    stress_now = stress
     log("timing")
     t0 = time.perf_counter()
     for _ in range(steps):
         f_srl = adv_srl(f_srl, bundle)
-        f_srl, state = phys_srl(f_srl, frc, stress_now, env, bundle)
-        stress_now = {k: state[k] for k in stress_now}
+        f_srl, tail, stress6 = phys_call(f_srl, tail, stress6)
         f_srl = adv_srl(f_srl, bundle)
     sync(jax, jnp, f_srl)
     dt_pair = (time.perf_counter() - t0) / steps
@@ -221,42 +361,83 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=29,
     bins = ms.n_real * nang * nfre
     value = bins / (dt_pair / 2.0)
     bw = measure_stream_bw(jax, jnp)
+    vpu = measure_vpu_flops(jax, jnp)
+    trate = measure_trans_rate(jax, jnp)
 
-    # fused-path byte model (audited): per advection pass the kernel
-    # reads 3 windows (own S+2, dn/up S+EW each) + writes 1, on the SRL
-    # point count; cg windows are nfre lanes (1/nang of the spectrum);
-    # tables ≈ (6*EW+22) f32/point + obs 8*nfre/point; wrap refresh is
-    # O(rows). Extra fast-wave sub-passes advect ifrelfmax/nfre of bins.
-    L = nang * nfre
-    srl_bins = ft.nsrl * L
+    # ---- audited roofline models -------------------------------------
+    # advection bytes: per pass the kernel reads 3 spectrum windows
+    # (own S+2, dn/up S+EW each) + writes 1, on the SRL point count; cg
+    # windows are nfre_red lanes; tables ≈ (6·EW+22) f32/point + obs
+    # 8·nfre_red/point.  Extra fast-wave sub-passes advect a band only.
+    srl_bins = nsrl * L
     win = 3.0 + (2.0 * ft.EW + 2.0) / ft.S
-    per_pass = (win + 1.0) * srl_bins                      # f traffic
-    per_pass += (win + 1.0) * ft.nsrl * nfre               # cg windows
-    per_pass += ft.nsrl * (6.0 * ft.EW + 22.0 + 8.0 * nfre)  # tables
+    per_pass = (win + 1.0) * srl_bins
+    per_pass += (win + 1.0) * nsrl * nfre_red
+    per_pass += nsrl * (6.0 * ft.EW + 22.0 + 8.0 * nfre_red)
     adv_bytes = 4.0 * per_pass
-    # ≈30 implsch passes + the SRL gather/scatter round trip (2 passes)
-    phys_bytes = 4.0 * 32.0 * ms.n_pad * L
-    achieved = (2.0 * adv_bytes + phys_bytes) / dt_pair
+    # physics bytes: ONE spectrum read + write (+ tail block) + env/scal
+    # rows + state outputs — the whole point of the fused kernel
+    LPp = fp.LP if fp.backend == "pallas" else L
+    phys_bytes = 4.0 * nsrl * (2.0 * LPp + 2.0 * LTP
+                               + 5.0 * nfre + 2.0 + 2.0 * 6.0 + 6.0)
+
+    # physics op counts from the traced tile jaxpr (the same trace the
+    # kernel executes): arithmetic costed at the measured FMA rate,
+    # transcendentals at the measured exp rate
+    phys_arith = phys_trans = float("nan")
+    try:
+        from ecwam_tpu.ops.physics import kernelmode
+        cfg_min = ipk.minimal_config(ms.phys)
+        tile = fp.phys_tile
+        sds = jax.ShapeDtypeStruct
+
+        def tfn(f, s, e):
+            return ipk._tile_implsch(cfg_min, f, s, e, full=False)
+        with kernelmode.pallas_safe():
+            closed = jax.make_jaxpr(tfn)(
+                sds((nang, nfre, tile), jnp.float32),
+                sds((len(ipk.SCAL_IN), tile), jnp.float32),
+                sds((5 * nfre, tile), jnp.float32))
+        a, t = jaxpr_flops(closed.jaxpr)
+        scale = -(-nsrl // tile)
+        phys_arith, phys_trans = a * scale, t * scale
+    except Exception as e:  # noqa: BLE001
+        log(f"flop count failed: {e!r}")
+
+    def model_time(bts, arith=0.0, trans=0.0):
+        out = bts / bw
+        if arith == arith:
+            out = max(out, arith / vpu + trans / trate)
+        return out
+
+    # advection is memory-bound by design (the fused kernel's FIR taps
+    # are a handful of FMAs per loaded element): bytes-only term
+    t_model = 2.0 * model_time(adv_bytes) + model_time(
+        phys_bytes, phys_arith, phys_trans)
 
     return {
         "metric": "point_bins_per_s_per_chip",
         "value": value,
         "unit": "bins/s",
-        "vs_baseline": achieved / bw,
+        "vs_baseline": t_model / dt_pair,
         "grid": grid_name, "nang": nang, "nfre": nfre,
+        "nfre_red": nfre_red,
         "sea_points": ms.n_real,
-        "mode": f"fused/{fp.backend}",
+        "mode": f"fused/{fp.backend}+physkernel",
         "cadence": "adv 450 s / phys 900 s (physics every 2nd step)",
         "step_pair_seconds": dt_pair,
         "t_propag_seconds": t_adv,
         "t_phys_seconds": t_phys,
         "device": str(jax.devices()[0].device_kind),
         "stream_bw_bytes_per_s": bw,
+        "vpu_flops_per_s": vpu,
+        "trans_ops_per_s": trate,
         "model_bytes_per_adv_step": adv_bytes,
         "model_bytes_per_phys_step": phys_bytes,
+        "model_arith_per_phys_step": phys_arith,
+        "model_trans_per_phys_step": phys_trans,
+        "model_step_pair_seconds": t_model,
         "xla_bytes_per_adv_step": xla_bytes(adv_srl, f_srl, bundle),
-        "xla_bytes_per_phys_step": xla_bytes(
-            phys_srl, f_srl, frc, stress, env, bundle),
         "bytes_per_bin_adv": adv_bytes / bins,
     }
 

@@ -240,14 +240,29 @@ def run_model(cfg: RunConfig, rundir: str, *, dtype=None, quiet=False):
         if not quiet:
             print(f"[ecwave] resumed from {rst}")
 
-    model = driver_mod.WaveModel(ms, provider, cfg.begin, fl1=fl1,
-                                 stress=stress)
+    # SRL-resident fast driver on the fused path with a Pallas-capable
+    # backend (the bench architecture; wamodel.F90 output-date split):
+    # minimal fused physics between output dates, full diagnostics on
+    # output dates.  CPU runs keep the cached/XLA WaveModel.
+    from ecwam_tpu.model.fusedstep import default_backend
+    use_fast = (ms.weights_mode == "fused"
+                and default_backend(ms.dtype) == "pallas")
+    if use_fast:
+        model = driver_mod.FastWaveModel(ms, provider, cfg.begin,
+                                         fl1=fl1, stress=stress)
+        if not quiet:
+            print("[ecwave] SRL-resident fast driver "
+                  "(Pallas advection + fused physics kernel)")
+    else:
+        model = driver_mod.WaveModel(ms, provider, cfg.begin, fl1=fl1,
+                                     stress=stress)
 
     # CHECKCFL role (checkcfl.F90:74-210, called from the propagation
     # setup): validate the Courant numbers once per weight refresh and
     # abort with the reference's remedy when violated
-    if getattr(model.steps, "cfl_diagnostics", None):
-        diag = model.steps.cfl_diagnostics()
+    cfl_src = model.fp if use_fast else model.steps
+    if getattr(cfl_src, "cfl_diagnostics", None):
+        diag = cfl_src.cfl_diagnostics()
         if not quiet:
             print(f"[ecwave] CFL: x={diag['cfl_east_west']:.3f} "
                   f"y={diag['cfl_north_south']:.3f} "
@@ -388,7 +403,7 @@ def run_model(cfg: RunConfig, rundir: str, *, dtype=None, quiet=False):
     date = cfg.begin
     while date < cfg.end:
         nxt = date + step
-        model.advance(1)
+        model.advance(1, full_phys=(nxt in out_dates))
         if bc_file is not None:
             model.fl1 = nesting_mod.apply_boundary(
                 model.fl1, bc_file, fine_tab, _fmt14(nxt))

@@ -121,9 +121,11 @@ class RunConfig:
     lciscal: bool = False
     # second-order correction of output spectra (mpuserin.F90:594 default)
     lsecondorder: bool = True
-    # propagation engine: 'cached' dense weights, 'otf' per-block
-    # recompute, 'fused' single-pass weights+stencil (the fast path)
-    weights_mode: str = "cached"
+    # propagation engine: 'auto' (→ 'fused', the fast path), 'cached'
+    # dense weights, 'otf' per-block recompute, 'fused' single-pass
+    # weights+stencil.  Round 2 showed the dense default stalls/OOMs
+    # beyond O96-class grids; reference YAMLs now get the fused engine
+    weights_mode: str = "auto"
     nproma: int = 32           # accepted for compat; TPU build ignores it
     validation: dict = dataclasses.field(default_factory=dict)
     raw: dict = dataclasses.field(default_factory=dict, repr=False)
@@ -228,7 +230,7 @@ class RunConfig:
             lciwa3=_bool(raw.get("lciwa3", False)),
             lciscal=_bool(raw.get("lciscal", False)),
             lsecondorder=_bool(raw.get("lsecondorder", True)),
-            weights_mode=str(raw.get("weights_mode", "cached")),
+            weights_mode=str(raw.get("weights_mode", "auto")),
             nproma=int(raw.get("nproma", 32)),
             validation=raw.get("validation", {}) or {},
             raw=raw)
@@ -244,7 +246,8 @@ class RunConfig:
             llgcbz0=self.llgcbz0, llnormagam=self.llnormagam,
             llcapchnk=self.llcapchnk,
             lciwa3=self.lciwa3, lciscal=self.lciscal,
-            weights_mode=self.weights_mode)
+            weights_mode=("fused" if self.weights_mode == "auto"
+                          else self.weights_mode))
         if self.fast_waves_timestep:
             kw["delpro_lf"] = self.fast_waves_timestep
             kw["ifrelfmax"] = self.fast_waves_max_frequency

@@ -139,13 +139,16 @@ class WaveModel:
             self.steps.refresh_currents(*cur)
         return self
 
-    def advance(self, n_steps: int = 1, wind_every: int | None = None):
+    def advance(self, n_steps: int = 1, wind_every: int | None = None,
+                full_phys: bool = True):
         """Advance ``n_steps`` advection steps of ``idelpro`` seconds.
 
         Physics runs whenever the accumulated time reaches ``idelt``
         (wamintgr.F90:117-146).  ``wind_every``: swap forcing every N
         steps (the NEWWIND role incl. the TAUW cap); None = keep current
-        forcing.
+        forcing.  ``full_phys`` is accepted for interface parity with
+        :class:`FastWaveModel` (this path always computes the full
+        diagnostics).
         """
         s = self.setup
         for i in range(n_steps):
@@ -193,6 +196,177 @@ class WaveModel:
         return dict(name="swh", date=format_date(self.date),
                     average=float(swh.mean()), minimum=float(swh.min()),
                     maximum=float(swh.max()), count=int(swh.size))
+
+
+class FastWaveModel(WaveModel):
+    """SRL-resident driver: Pallas CTU advection + fused Pallas IMPLSCH.
+
+    The production stepping mode on TPU (the architecture bench.py
+    measures): the spectrum stays in the segmented-row layout between
+    steps, physics runs the minimal fused kernel between output dates
+    and the full-diagnostics kernel on demand (``advance(...,
+    full_phys=True)``) — the reference's WAMODEL output-date split
+    (wamodel.F90:228-649).  Exposes the same surface as
+    :class:`WaveModel` (``fl1`` compact property incl. setter for
+    boundary nesting, ``stress``/``state`` dicts, ``newwind``).
+    """
+
+    def __init__(self, setup: ModelSetup, forcing_provider: Callable,
+                 start_date: str | _dt.datetime, fl1=None, stress=None,
+                 backend: str | None = None, interpret: bool = False):
+        from functools import partial
+        from ecwam_tpu.model.fusedstep import FusedPropagation
+        from ecwam_tpu.ops.physics import implsch_pallas as ipk
+
+        self.setup = setup
+        self.forcing_provider = forcing_provider
+        self.date = (parse_date(start_date)
+                     if isinstance(start_date, str) else start_date)
+        self.fp = fp = FusedPropagation(setup, backend=backend,
+                                        interpret=interpret)
+        self._ipk = ipk
+        self.frc, self._currents = self._fetch_forcing(self.date)
+        if self._currents is not None:
+            fp.refresh(*self._currents)
+        if fl1 is None:
+            from ecwam_tpu.model import preset
+            f = preset.mstart(
+                setup.tb, np.asarray(self.frc["wswave"]),
+                np.asarray(self.frc["wdwave"]))
+            fl1 = jnp.asarray(f, setup.dtype)
+        stress = stress or stepper_mod.initial_stress(setup, self.frc)
+        (self._env2d, self._denv, self._frc6,
+         self._stress6) = fp.build_phys_srl(self.frc, stress)
+
+        tb = setup.tb
+        self._LT = tb.nang * (tb.nfre - tb.nfre_red)
+        self._set_compact(fl1)
+        self.state = {}
+        self.timers = StepTimers()
+        self._phys_elapsed = 0.0
+
+        self._jit_adv = jax.jit(
+            lambda f, b: fp.advect_srl(f, b), donate_argnums=0)
+
+        def _phys(f, t, s6, f6, full):
+            t_in = t if self._LT else None
+            res = fp.phys_srl_pallas(f, s6, f6, self._denv,
+                                     self._env2d, t_in, full=full)
+            f, s6 = res[0], res[1]
+            t = res[2] if self._LT else t
+            state = res[-1] if full else None
+            return f, t, s6, state
+        self._jit_phys_min = jax.jit(partial(_phys, full=False),
+                                     donate_argnums=(0, 1, 2))
+        self._jit_phys_full = jax.jit(partial(_phys, full=True),
+                                      donate_argnums=(0, 1, 2))
+        self._jit_extract = jax.jit(
+            lambda rows, b: fp.extract_state(rows, b))
+        self._compact_cache = None
+
+    # -- compact-layout views ------------------------------------------
+    def _set_compact(self, fl1):
+        fp, setup, tb = self.fp, self.setup, self.setup.tb
+        nfre_red = tb.nfre_red
+        f = jnp.asarray(fl1, setup.dtype)
+        self._f_srl = fp.to_srl(f[:, :nfre_red], fp.bundle)
+        self._tail = jnp.zeros((self.fp.ft.nsrl, 1), setup.dtype)
+        if self._LT:
+            LTP = -(-self._LT // 128) * 128
+            rows3 = np.asarray(f).transpose(2, 0, 1)[:, :, nfre_red:]
+            tl = np.zeros((setup.n_pad + 1, LTP), np.float32)
+            tl[: setup.n_pad, : self._LT] = rows3.reshape(
+                setup.n_pad, self._LT)
+            self._tail = jnp.asarray(
+                tl[np.asarray(setup.fused.srl_src)], setup.dtype)
+        self._compact_cache = None
+
+    @property
+    def fl1(self):
+        if self._compact_cache is None:
+            fp, tb = self.fp, self.setup.tb
+            out = fp.from_srl(self._f_srl, fp.bundle)
+            if self._LT:
+                t = self._jit_extract(self._tail, fp.bundle)
+                t = jnp.transpose(
+                    t[:, : self._LT].reshape(
+                        -1, tb.nang, tb.nfre - tb.nfre_red), (1, 2, 0))
+                out = jnp.concatenate([out, t], axis=1)
+            self._compact_cache = out
+        return self._compact_cache
+
+    @fl1.setter
+    def fl1(self, value):
+        self._set_compact(value)
+
+    @property
+    def stress(self):
+        fp = self.fp
+        rows = self._jit_extract(self._stress6, fp.bundle)
+        return {k: rows[i] for i, k in
+                enumerate(self._ipk.STRESS_KEYS)}
+
+    @stress.setter
+    def stress(self, value):
+        src = self.fp.bundle["dev"]["srl_src"]
+        rows = []
+        for k in self._ipk.STRESS_KEYS:
+            v = jnp.asarray(value[k], self.setup.dtype)
+            rows.append(jnp.concatenate([v, v[:1]])[src][None])
+        self._stress6 = jnp.concatenate(rows, axis=0)
+
+    def newwind(self, date):
+        """NEWWIND on SRL rows (newwind.F90:97-178): swap forcing and
+        cap TAUW where the new wind is weak."""
+        frc, cur = self._fetch_forcing(date)
+        self.frc = frc
+        frc6 = self.fp.frc_srl(frc)
+        u10 = frc6[0]
+        tauw = self._stress6[1]
+        if self.setup.phys.icode_wnd == 3:
+            wght = 1.0 / self.WSPMIN_RESET_TAUW
+            tlwmax = wght * (self._ACD + self._BCD * u10) * u10**3
+            tauw = jnp.where(u10 < self.WSPMIN_RESET_TAUW,
+                             jnp.minimum(tauw, tlwmax), tauw)
+            self._stress6 = jnp.concatenate(
+                [self._stress6[:1], tauw[None], self._stress6[2:]],
+                axis=0)
+        self._frc6 = frc6
+        if cur is not None:
+            self._currents = cur
+            self.fp.refresh(*cur)
+        return self
+
+    def advance(self, n_steps: int = 1, wind_every: int | None = None,
+                full_phys: bool = False):
+        s = self.setup
+        for i in range(n_steps):
+            if wind_every and i > 0 and i % wind_every == 0:
+                self.newwind(self.date)
+            t0 = time.perf_counter()
+            self._f_srl = self._jit_adv(self._f_srl, self.fp.bundle)
+            jax.block_until_ready(self._f_srl)
+            self.timers.propag += time.perf_counter() - t0
+            self._phys_elapsed += s.idelpro
+            if self._phys_elapsed >= s.idelt - 1e-6:
+                t0 = time.perf_counter()
+                fn = (self._jit_phys_full if full_phys
+                      else self._jit_phys_min)
+                self._f_srl, self._tail, self._stress6, state = fn(
+                    self._f_srl, self._tail, self._stress6, self._frc6)
+                self._phys_elapsed = 0.0
+                if state is not None:
+                    fp = self.fp
+                    out = {}
+                    for k, v in state.items():
+                        out[k] = self._jit_extract(v, fp.bundle)
+                    self.state = out
+                jax.block_until_ready(self._f_srl)
+                self.timers.phys += time.perf_counter() - t0
+            self.timers.steps += 1
+            self.date += _dt.timedelta(seconds=s.idelpro)
+            self._compact_cache = None
+        return self
 
 
 def constant_wind_forcing(n_real: int, u10: float = 10.0,

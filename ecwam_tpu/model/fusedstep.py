@@ -228,10 +228,10 @@ class FusedPropagation:
     # -- SRL-resident physics: fused Pallas kernel ----------------------
     @property
     def phys_tile(self) -> int:
-        """Point-tile size of the physics kernel: the SRL length is a
-        multiple of the segment size S, so tiles of min(S, 128) always
-        divide it."""
-        return min(128, self.ft.S)
+        """Point-tile size of the physics kernel (Mosaic lane-blocked
+        inputs need 128 lanes; the kernel row-pads internally when the
+        SRL length is not a multiple)."""
+        return 128
 
     def build_phys_srl(self, frc, stress):
         """One-time device build of the SRL-ordered physics inputs.

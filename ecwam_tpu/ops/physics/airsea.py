@@ -22,6 +22,19 @@ import jax.numpy as jnp
 
 from ecwam_tpu.core import constants as c
 from ecwam_tpu.core import physparams as pp
+from ecwam_tpu.ops.physics import kernelmode
+
+
+def _niter_loop(body, init):
+    """NITER fixed-trip loop; unrolled inside Pallas kernels — Mosaic's
+    scf.for adds per-iteration overhead comparable to the tiny per-point
+    vector work of the Newton body."""
+    if kernelmode.PALLAS_SAFE:
+        carry = init
+        for i in range(NITER):
+            carry = body(i, carry)
+        return carry
+    return jax.lax.fori_loop(0, NITER, body, init)
 
 EPS1 = 0.00001            # tauw/u*² margin (yowtabl.F90:34)
 NITER = 18
@@ -261,7 +274,7 @@ def taut_z0(utop, udir, tauw, tauwdir, ustar_guess, params: pp.PhysParams,
         return ustar, ustm1, taunew, z0ch
 
     init = (ustar, ustm1, tauold, jnp.zeros_like(ustar))
-    ustar, ustm1, tauold, z0ch = jax.lax.fori_loop(0, NITER, body, init)
+    ustar, ustm1, tauold, z0ch = _niter_loop(body, init)
 
     z0 = z0ch
     z0b = alphaog * tauold

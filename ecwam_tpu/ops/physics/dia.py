@@ -575,26 +575,24 @@ def _snonlin_mc_loop(fl1, fld, sl, enh, dia: DiaTables):
 
     for kh in range(2):
         s1, s11, s2, s21 = (int(x) for x in pr.shifts[kh])
-
-        # per-slice rolls (rot(a, s)[k] = a[(k+s) % nang]): rolling the
-        # (nang, npts) frequency slices on use instead of keeping 4
-        # rolled full-spectrum copies live saves ~3 MB of kernel VMEM
-        def rsl(idx, s):
-            a = kernelmode.sidx(fl1, idx, 1)
-            return a if s == 0 else jnp.roll(a, -s, axis=0)
+        # pre-rolled full-spectrum inputs (rot(a, s)[k] = a[(k+s) % nang]):
+        # one 3-op roll per distinct shift replaces per-j slice rolls
+        R = {s: (fl1 if s == 0 else jnp.roll(fl1, -s, axis=0))
+             for s in {s1, s11, s2, s21}}
 
         for j in range(dia.mlsthg):
             ic, ip, ip1 = int(dia.ic[j]), int(dia.ip[j]), int(dia.ip1[j])
             im, im1 = int(dia.im[j]), int(dia.im1[j])
-            sap = (float(gw1[j]) * rsl(ip, s1)
-                   + float(gw2[j]) * rsl(ip, s11)
-                   + float(gw3[j]) * rsl(ip1, s1)
-                   + float(gw4[j]) * rsl(ip1, s11))
-            sam = (float(gw5[j]) * rsl(im, s2)
-                   + float(gw6[j]) * rsl(im, s21)
-                   + float(gw7[j]) * rsl(im1, s2)
-                   + float(gw8[j]) * rsl(im1, s21))
-            fij = rsl(ic, 0) * float(ftail[j])
+            sx = kernelmode.sidx
+            sap = (float(gw1[j]) * sx(R[s1], ip, 1)
+                   + float(gw2[j]) * sx(R[s11], ip, 1)
+                   + float(gw3[j]) * sx(R[s1], ip1, 1)
+                   + float(gw4[j]) * sx(R[s11], ip1, 1))
+            sam = (float(gw5[j]) * sx(R[s2], im, 1)
+                   + float(gw6[j]) * sx(R[s21], im, 1)
+                   + float(gw7[j]) * sx(R[s2], im1, 1)
+                   + float(gw8[j]) * sx(R[s21], im1, 1))
+            fij = sx(fl1, ic, 1) * float(ftail[j])
             fad1 = fij * (sap + sam)
             fad2 = fad1 - 2.0 * sap * sam
             fad1 = fad1 + fad2
@@ -605,9 +603,16 @@ def _snonlin_mc_loop(fl1, fld, sl, enh, dia: DiaTables):
             delap = (fij - 2.0 * sam) * float(dia.dal1) * fcen
             delam = (fij - 2.0 * sap) * float(dia.dal2) * fcen
 
-            # unrot(x, s)[k] = x[(k-s) % nang]
-            def unrot(x, s):
-                return x if s == 0 else jnp.roll(x, s, axis=0)
+            # unrot(x, s)[k] = x[(k-s) % nang]; cache one roll per value
+            # per shift — w·unrot(x, s) = unrot(w·x, s) lets the weight
+            # multiply ride on the cached rolled value
+            _rc = {}
+
+            def ur(x, s, _rc=_rc):
+                key = (id(x), s)
+                if key not in _rc:
+                    _rc[key] = x if s == 0 else jnp.roll(x, s, axis=0)
+                return _rc[key]
 
             if j < nfre:                       # center target MC
                 add(dsl_c, j, -2.0 * ad)
@@ -615,27 +620,27 @@ def _snonlin_mc_loop(fl1, fld, sl, enh, dia: DiaTables):
             # MM/MM1 targets at rotations K2/K21 (raw index in range only)
             raw_mm, raw_mm1 = int(dia.ikm[j]), int(dia.ikm1[j])
             if 1 <= raw_mm <= nfre:
-                add(dsl_c, raw_mm - 1, unrot(float(fklamm1[j]) * ad, s2)
-                    + unrot(float(fklamm2[j]) * ad, s21))
-                add(dfld_c, raw_mm - 1, unrot(float(fklam12[j]) * delam, s2)
-                    + unrot(float(fklam22[j]) * delam, s21))
+                add(dsl_c, raw_mm - 1, float(fklamm1[j]) * ur(ad, s2)
+                    + float(fklamm2[j]) * ur(ad, s21))
+                add(dfld_c, raw_mm - 1, float(fklam12[j]) * ur(delam, s2)
+                    + float(fklam22[j]) * ur(delam, s21))
             if 1 <= raw_mm1 <= nfre:
-                add(dsl_c, raw_mm1 - 1, unrot(float(fklamma[j]) * ad, s2)
-                    + unrot(float(fklammb[j]) * ad, s21))
-                add(dfld_c, raw_mm1 - 1, unrot(float(fklama2[j]) * delam, s2)
-                    + unrot(float(fklamb2[j]) * delam, s21))
+                add(dsl_c, raw_mm1 - 1, float(fklamma[j]) * ur(ad, s2)
+                    + float(fklammb[j]) * ur(ad, s21))
+                add(dfld_c, raw_mm1 - 1, float(fklama2[j]) * ur(delam, s2)
+                    + float(fklamb2[j]) * ur(delam, s21))
             # MP/MP1 targets at rotations K1/K11
             raw_mp, raw_mp1 = int(dia.ikp[j]), int(dia.ikp1[j])
             if 1 <= raw_mp <= nfre:
-                add(dsl_c, raw_mp - 1, unrot(float(fklamp1[j]) * ad, s1)
-                    + unrot(float(fklamp2[j]) * ad, s11))
-                add(dfld_c, raw_mp - 1, unrot(float(fklap12[j]) * delap, s1)
-                    + unrot(float(fklap22[j]) * delap, s11))
+                add(dsl_c, raw_mp - 1, float(fklamp1[j]) * ur(ad, s1)
+                    + float(fklamp2[j]) * ur(ad, s11))
+                add(dfld_c, raw_mp - 1, float(fklap12[j]) * ur(delap, s1)
+                    + float(fklap22[j]) * ur(delap, s11))
             if 1 <= raw_mp1 <= nfre:
-                add(dsl_c, raw_mp1 - 1, unrot(float(fklampa[j]) * ad, s1)
-                    + unrot(float(fklampb[j]) * ad, s11))
-                add(dfld_c, raw_mp1 - 1, unrot(float(fklapa2[j]) * delap, s1)
-                    + unrot(float(fklapb2[j]) * delap, s11))
+                add(dsl_c, raw_mp1 - 1, float(fklampa[j]) * ur(ad, s1)
+                    + float(fklampb[j]) * ur(ad, s11))
+                add(dfld_c, raw_mp1 - 1, float(fklapa2[j]) * ur(delap, s1)
+                    + float(fklapb2[j]) * ur(delap, s11))
 
     zero = jnp.zeros((nang, npts), dt)
     dsl = jnp.stack([c if c is not None else zero for c in dsl_c], axis=1)

@@ -282,12 +282,26 @@ def implsch_pallas_srl(cfg, f_srl, env2d, scal, tail=None, *,
     xllws comes back (nang, nfre, nsrl).
     """
     nfre = cfg.tables.nfre
-    nsrl, LP = f_srl.shape
-    if nsrl % tile:
-        raise ValueError(f"nsrl={nsrl} not a multiple of tile={tile}")
+    nsrl0, LP = f_srl.shape
     if (nfre > nfre_red) != (tail is not None):
         raise ValueError("tail block required iff nfre > nfre_red")
     _check_cfg(cfg)
+    # Mosaic lane-blocked inputs need tile % 128 == 0; pad the row axis
+    # up to a tile multiple (zero spectra + replicated scalar columns —
+    # benign, outputs sliced off) so small grids/shards work unchanged
+    pad = (-nsrl0) % tile
+    if pad:
+        dtp = f_srl.dtype
+        f_srl = jnp.concatenate(
+            [f_srl, jnp.zeros((pad, LP), dtp)], axis=0)
+        env2d = jnp.concatenate(
+            [env2d, jnp.repeat(env2d[:, -1:], pad, axis=1)], axis=1)
+        scal = jnp.concatenate(
+            [scal, jnp.repeat(scal[:, -1:], pad, axis=1)], axis=1)
+        if tail is not None:
+            tail = jnp.concatenate(
+                [tail, jnp.zeros((pad, tail.shape[1]), dtp)], axis=0)
+    nsrl = nsrl0 + pad
     nsi = len(SCAL_IN)
     nso = len(SCAL_OUT_FULL if full else SCAL_OUT_MIN)
     dt = f_srl.dtype
@@ -354,7 +368,7 @@ def implsch_pallas_srl(cfg, f_srl, env2d, scal, tail=None, *,
         out_shape.append(_sds((nang, nfre, nsrl), dt))
         out_specs.append(
             pl.BlockSpec((nang, nfre, tile), lambda i: (0, 0, i)))
-    return pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid=(nsrl // tile,),
         compiler_params=pltpu.CompilerParams(
@@ -364,6 +378,16 @@ def implsch_pallas_srl(cfg, f_srl, env2d, scal, tail=None, *,
         out_shape=out_shape,
         interpret=interpret,
     )(*consts, *args)
+    if pad:
+        res = list(res)
+        res[0] = res[0][:nsrl0]
+        res[1] = res[1][:, :nsrl0]
+        if with_tail:
+            res[2] = res[2][:nsrl0]
+        if full:
+            res[-1] = res[-1][..., :nsrl0]
+        res = tuple(res)
+    return res
 
 
 def _check_cfg(cfg):

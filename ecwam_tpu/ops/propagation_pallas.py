@@ -53,12 +53,14 @@ def _pad128(a, axis=-1):
 
 def pack_tables(ft_dev_np: dict, lc_np: dict, cg_srl_np, cg_land_np,
                 dn_base, up_base, *, S: int, EW: int, nang: int,
-                nfre: int, nsrl: int, dtype) -> dict:
+                nfre: int, nsrl: int, dtype, as_numpy: bool = False) -> dict:
     """Host-side (numpy) kernel table pack → single device pushes.
 
     ``ft_dev_np``: numpy dict with taps_dn/up (nsrl,3,EW), sea_own,
     cgland, geom (nsrl,8), valid (nsrl,), obs (nsrl,8,nfre), optional
-    uv (nsrl,2) and grads (nsrl,8).
+    uv (nsrl,2) and grads (nsrl,8).  ``as_numpy`` keeps the packed
+    tables host-side (the sharded build stacks per-shard packs before
+    one sharded device_put).
     """
     L = nang * nfre
     ptab = np.zeros((nsrl, 128))
@@ -97,16 +99,17 @@ def pack_tables(ft_dev_np: dict, lc_np: dict, cg_srl_np, cg_land_np,
     dnf[1:nb] = np.asarray(dn_base)[:nb - 1]
     upf[1:nb] = np.asarray(up_base)[:nb - 1]
 
-    return dict(
-        ptab=jnp.asarray(ptab, dtype),
-        taps=jnp.asarray(taps, dtype),
-        obs=jnp.asarray(obs, dtype),
-        pf=jnp.asarray(pf, dtype),
-        cg=jnp.asarray(cg, dtype),
-        cgland=jnp.asarray(cgland, dtype),
-        lc=jnp.asarray(lc, dtype),
-        dn_full=jnp.asarray(dnf), up_full=jnp.asarray(upf),
+    npdt = np.dtype(str(jnp.dtype(dtype)))
+    out = dict(
+        ptab=ptab.astype(npdt), taps=taps.astype(npdt),
+        obs=obs.astype(npdt), pf=pf.astype(npdt), cg=cg.astype(npdt),
+        cgland=cgland.astype(npdt), lc=lc.astype(npdt),
+        dn_full=dnf.astype(np.int32), up_full=upf.astype(np.int32),
         fratio=float(lc_np["fratio"]))
+    if as_numpy:
+        return out
+    return {k: (v if k == "fratio" else jnp.asarray(v))
+            for k, v in out.items()}
 
 
 def _kernel(dn_ref, up_ref,                        # scalar prefetch

@@ -96,3 +96,106 @@ def test_device_norms_match_host_norms():
                                rtol=1e-12)
     np.testing.assert_allclose(dev["minimum"], host["minimum"])
     np.testing.assert_allclose(dev["maximum"], host["maximum"])
+
+
+# ---------------------------------------------------------------------------
+# kernel architecture: SRL rows + Pallas advection + fused Pallas physics
+# ---------------------------------------------------------------------------
+
+def _single_chip_kernel_steps(ms, fl1, frc, stress, nsteps=2):
+    """Reference trajectory on the single-chip kernel architecture
+    (FusedPropagation + implsch_pallas_srl, interpret mode)."""
+    from ecwam_tpu.model.fusedstep import FusedPropagation
+    from ecwam_tpu.ops.physics import implsch_pallas as ipk
+
+    tb = ms.tb
+    nang, nfre, nfre_red = tb.nang, tb.nfre, tb.nfre_red
+    fp = FusedPropagation(ms, backend="pallas", interpret=True)
+    env2d, denv, frc6, stress6 = fp.build_phys_srl(frc, stress)
+    f_srl = fp.to_srl(jnp.asarray(fl1)[:, :nfre_red], fp.bundle)
+    tail = None
+    LT = nang * (nfre - nfre_red)
+    if LT:
+        LTP = -(-LT // 128) * 128
+        rows3 = np.asarray(fl1).transpose(2, 0, 1)[:, :, nfre_red:]
+        tl = np.zeros((ms.n_pad + 1, LTP), np.float32)
+        tl[:ms.n_pad, :LT] = rows3.reshape(ms.n_pad, LT)
+        tail = jnp.asarray(tl[np.asarray(ms.fused.srl_src)])
+    for _ in range(nsteps):
+        f_srl = fp.advect_srl(f_srl, fp.bundle)
+        res = fp.phys_srl_pallas(f_srl, stress6, frc6, denv, env2d,
+                                 tail)
+        f_srl, stress6 = res[0], res[1]
+        if tail is not None:
+            tail = res[2]
+    out = np.asarray(fp.from_srl(f_srl, fp.bundle))
+    if LT:
+        fsp = np.asarray(ms.fused.from_srl)
+        t = np.asarray(tail)[fsp][:, :LT].reshape(
+            -1, nang, nfre - nfre_red).transpose(1, 2, 0)
+        pad = np.repeat(t[:, :, :1], ms.n_pad - t.shape[2], axis=2)
+        out = np.concatenate([out, np.concatenate([t, pad], axis=2)],
+                             axis=1)
+    return out
+
+
+@pytest.mark.parametrize("nfre_red", [25, 20])
+def test_sharded_kernel_architecture_matches_single_chip(nfre_red):
+    """The sharded step_rows path (SRL rows + Pallas advect + fused
+    Pallas physics inside shard_map — the bench architecture, VERDICT
+    r3 #2) reproduces the single-chip kernel trajectory, including the
+    operational NFRE>NFRE_RED diagnostic-tail split."""
+    ms = _build(dtype=jnp.float32, nfre=25, nfre_red=nfre_red)
+    fl1, frc, stress = _inputs(ms)
+    ref = _single_chip_kernel_steps(ms, fl1, frc, stress)
+
+    got = {}
+    for n_shards in (2, 4):
+        mesh = Mesh(np.array(jax.devices()[:n_shards]), ("pts",))
+        sm = sharded.build_sharded_model(ms, mesh, backend="pallas",
+                                         interpret=True)
+        assert sm.kernel_arch
+        rows, tail = sm.put_rows(np.asarray(fl1))
+        s6 = sm.put_stress6(stress)
+        frc_s = {k: sm.device_put(np.asarray(v))
+                 for k, v in frc.items()}
+        for _ in range(2):
+            rows, tail, s6 = sm.step_rows(rows, tail, s6, frc_s)
+        got[n_shards] = sm.rows_to_compact(rows, tail)[..., :ms.n_real]
+
+    # shard-count invariance of the kernel architecture (tight)
+    np.testing.assert_allclose(got[2], got[4], rtol=2e-5, atol=1e-10)
+    # vs the single chip (tile sizes/halo windows differ -> f32 noise
+    # through the DIA cancellations; the f64 XLA-path invariance test
+    # above pins the algebra exactly)
+    scale = np.abs(ref[..., : ms.n_real]).max()
+    np.testing.assert_allclose(got[2], ref[..., : ms.n_real],
+                               rtol=5e-3, atol=5e-3 * scale)
+
+
+def test_sharded_kernel_full_state_for_products():
+    """step_rows_full produces the diagnostics io/products.py consumes
+    (fluxes, Stokes, means, mij, xllws) in own-point order."""
+    ms = _build(dtype=jnp.float32)
+    fl1, frc, stress = _inputs(ms)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("pts",))
+    sm = sharded.build_sharded_model(ms, mesh, backend="pallas",
+                                     interpret=True)
+    rows, tail = sm.put_rows(np.asarray(fl1))
+    s6 = sm.put_stress6(stress)
+    frc_s = {k: sm.device_put(np.asarray(v)) for k, v in frc.items()}
+    rows, tail, s6, state = sm.step_rows_full(rows, tail, s6, frc_s)
+    n = ms.n_real
+    em = sm.from_layout(np.asarray(state["emean"]))[:n]
+    assert np.all(np.isfinite(em)) and np.all(em > 0)
+    swh = 4.0 * np.sqrt(em)
+    assert 0.05 < swh.mean() < 15.0
+    assert np.asarray(state["xllws"]).shape[:2] == (ms.tb.nang,
+                                                    ms.tb.nfre)
+    mij = sm.from_layout(np.asarray(state["mij"]))[:n]
+    assert mij.min() >= 0 and mij.max() <= ms.tb.nfre - 1
+    to = sm.from_layout(np.asarray(state["tauoc"]))[:n]
+    # TAUOC is clipped to [TAUOCMIN, TAUOCMAX] (wnfluxes.F90); young
+    # growing seas sit near 1, slightly above when swell returns
+    # momentum to the atmosphere
+    assert np.all((to > 0.5) & (to < 1.5))

@@ -96,7 +96,21 @@ def test_wamintgr_trajectory(config):
     got_stress = {k: np.asarray(v, np.float64)[:n_real]
                   for k, v in m.stress.items()}
 
-    # ---- oracle trajectory ------------------------------------------
+    want, want_stress = _oracle_traj(ms, fl1_0, stress0, forcing_at)
+
+    want = want[..., :n_real]
+    scale = want.max()
+    np.testing.assert_allclose(got, want, rtol=RTOL,
+                               atol=RTOL * scale)
+    for k in ("ufric", "tauw", "z0m", "chrnck"):
+        np.testing.assert_allclose(
+            got_stress[k], want_stress[k][:n_real], rtol=RTOL,
+            atol=RTOL * max(np.abs(want_stress[k]).max(), 1e-12),
+            err_msg=k)
+
+
+def _oracle_traj(ms, fl1_0, stress0, forcing_at):
+    """The straight-line WAMINTGR f64 oracle trajectory for ``ms``."""
     st = ms.stencil
     tb = ms.tb
     otb = ort.build(NANG, NFRE)
@@ -163,13 +177,59 @@ def test_wamintgr_trajectory(config):
         curmask=curmask, circ=c.CIRC, r_earth=c.R_EARTH,
         swellft=tables_mod.tabu_swellft(),
         x0tauhf=cfg.x0tauhf, wtauhf=cfg.wtauhf)
+    return want, want_stress
 
+
+@pytest.mark.parametrize("config", ["fastwaves_refra1", "currents3"])
+def test_wamintgr_trajectory_fast_path(config):
+    """The SRL-resident fast path (Pallas advection + fused Pallas
+    physics kernel, driver.FastWaveModel — the bench/production
+    architecture) against the same f64 WAMINTGR oracle at f32
+    tolerance (VERDICT r3 next-round #5)."""
+    wg, b, obstr, blk = _grid_with_topo()
+    n_real = blk.nsea
+    forcing_at = _forcing(n_real)
+
+    kw = dict(grid=wg, bathy=b, nang=NANG, nfre=NFRE, pad_to=8,
+              dtype=jnp.float32, obstructions=obstr, iphys=1,
+              weights_mode="fused")
+    if config == "fastwaves_refra1":
+        kw.update(idelpro=900.0, idelt=1800.0, delpro_lf=450.0,
+                  ifrelfmax=3, irefra=1)
+    else:
+        rng = np.random.default_rng(3)
+        kw.update(idelpro=900.0, idelt=900.0, irefra=3,
+                  currents=(0.35 * rng.standard_normal(n_real),
+                            0.35 * rng.standard_normal(n_real)))
+    ms = setup_mod.build_model(**kw)
+
+    def provider(date14):
+        step = int((driver.parse_date(date14)
+                    - driver.parse_date("20230101000000")
+                    ).total_seconds() // ms.idelpro)
+        return forcing_at(step)
+
+    m = driver.FastWaveModel(ms, provider, "20230101000000",
+                             backend="pallas", interpret=True)
+    stress0 = {k: np.asarray(v, np.float64)
+               for k, v in m.stress.items()}
+    fl1_0 = np.asarray(m.fl1, np.float64)
+    m.advance(NSTEPS, wind_every=2, full_phys=True)
+    got = np.asarray(m.fl1, np.float64)[..., :n_real]
+    got_stress = {k: np.asarray(v, np.float64)[:n_real]
+                  for k, v in m.stress.items()}
+    assert m.state, "full_phys must populate the diagnostics state"
+
+    want, want_stress = _oracle_traj(ms, fl1_0, stress0, forcing_at)
     want = want[..., :n_real]
+    # f32 model vs f64 oracle: single-precision arithmetic noise
+    # amplified through the DIA cancellations over 5 steps
+    rtol32 = 5e-3
     scale = want.max()
-    np.testing.assert_allclose(got, want, rtol=RTOL,
-                               atol=RTOL * scale)
+    np.testing.assert_allclose(got, want, rtol=rtol32,
+                               atol=rtol32 * scale)
     for k in ("ufric", "tauw", "z0m", "chrnck"):
         np.testing.assert_allclose(
-            got_stress[k], want_stress[k][:n_real], rtol=RTOL,
-            atol=RTOL * max(np.abs(want_stress[k]).max(), 1e-12),
+            got_stress[k], want_stress[k][:n_real], rtol=rtol32,
+            atol=rtol32 * max(np.abs(want_stress[k]).max(), 1e-12),
             err_msg=k)
