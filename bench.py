@@ -358,6 +358,12 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
     if profile_dir:
         jax.profiler.stop_trace()
 
+    try:
+        mem = jax.local_devices()[0].memory_stats() or {}
+        peak_bytes = mem.get("peak_bytes_in_use")
+    except Exception:  # noqa: BLE001
+        peak_bytes = None
+
     bins = ms.n_real * nang * nfre
     value = bins / (dt_pair / 2.0)
     bw = measure_stream_bw(jax, jnp)
@@ -379,7 +385,7 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
     # rows + state outputs — the whole point of the fused kernel
     LPp = fp.LP if fp.backend == "pallas" else L
     phys_bytes = 4.0 * nsrl * (2.0 * LPp + 2.0 * LTP
-                               + 5.0 * nfre + 2.0 + 2.0 * 6.0 + 6.0)
+                               + float(len(ipk.ENV_FIELDS)) * nfre + 2.0 + 2.0 * 6.0 + 6.0)
 
     # physics op counts from the traced tile jaxpr (the same trace the
     # kernel executes): arithmetic costed at the measured FMA rate,
@@ -397,7 +403,7 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
             closed = jax.make_jaxpr(tfn)(
                 sds((nang, nfre, tile), jnp.float32),
                 sds((len(ipk.SCAL_IN), tile), jnp.float32),
-                sds((5 * nfre, tile), jnp.float32))
+                sds((len(ipk.ENV_FIELDS) * nfre, tile), jnp.float32))
         a, t = jaxpr_flops(closed.jaxpr)
         scale = -(-nsrl // tile)
         phys_arith, phys_trans = a * scale, t * scale
@@ -439,6 +445,7 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
         "model_step_pair_seconds": t_model,
         "xla_bytes_per_adv_step": xla_bytes(adv_srl, f_srl, bundle),
         "bytes_per_bin_adv": adv_bytes / bins,
+        "device_peak_bytes": peak_bytes,
     }
 
 

@@ -41,24 +41,26 @@ def aki(om: np.ndarray, depth: np.ndarray, ebs: float = 1.0e-4) -> np.ndarray:
     deep = depth * ao > c.DKMAX
     out = np.where(deep, om**2 / c.G, ao)
 
-    active = ~deep
+    # full-array masked Newton (typically 5-8 iterations): per-iteration
+    # boolean fancy indexing costs O(n) gathers/scatters per step and
+    # dominated the O512 model build (~85 s for 15M entries); whole-array
+    # where-updates are ~20x faster and produce identical results
+    done = deep.copy()
     ao = ao.copy()
     for _ in range(200):
-        if not active.any():
-            break
-        akp = ao[active]
-        bo = depth[active] * akp
-        th = c.G * akp * np.tanh(bo)
+        bo = np.minimum(depth * ao, 50.0)      # deep rows are done; clip
+        th = c.G * ao * np.tanh(bo)
         sth = np.sqrt(th)
-        new = akp + (om[active] - sth) * sth * 2.0 / (
-            th / akp + c.G * bo / np.cosh(bo) ** 2)
-        ao[active] = new
-        conv = np.abs(akp - new) <= ebs * new
-        idx = np.flatnonzero(active)
-        out[idx[conv]] = new[conv]
-        active[idx[conv]] = False
+        new = ao + (om - sth) * sth * 2.0 / (
+            th / ao + c.G * bo / np.cosh(bo) ** 2)
+        conv = np.abs(ao - new) <= ebs * new
+        np.copyto(out, new, where=~done & conv)
+        ao = np.where(done, ao, new)
+        done |= conv
+        if done.all():
+            break
     else:  # pragma: no cover - safety net
-        out[active] = ao[active]
+        np.copyto(out, ao, where=~done)
     return out.reshape(shape)
 
 

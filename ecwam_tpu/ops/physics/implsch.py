@@ -43,6 +43,31 @@ from ecwam_tpu.ops.physics.tail_ice import FLMIN, imphftail, setice
 XIMP = 1.0               # implicitness factor (yowstat.F90:94)
 
 
+def _derive_stokfac(wavnum, depth, tb, dt):
+    """STOKFAC from (k, d) (initdpthflds.F90 fills it from the same
+    dispersion formulas) — lets the fused kernel path drop the stored
+    (nfre, npts) row block from HBM and derive it on the fly."""
+    om = jnp.asarray(np.asarray(tb.zpifr)[:, None], dt)
+    akd = wavnum * depth[None, :]
+    akd_s = jnp.minimum(akd, 10.0)
+    sh = 2.0 * c.G * wavnum**2 / (om * jnp.tanh(2.0 * akd_s))
+    dp = (2.0 / c.G) * om**3
+    return jnp.where(akd <= 10.0, sh, dp)
+
+
+def _derive_cgroup(wavnum, depth, tb, dt):
+    """Group speed from (k, d) (same formulas as core.dispersion);
+    only the sea-ice source terms consume it on the kernel path."""
+    from ecwam_tpu.ops.physics import kernelmode
+    om = jnp.asarray(np.asarray(tb.zpifr)[:, None], dt)
+    akd = wavnum * depth[None, :]
+    akd_s = jnp.minimum(akd, 10.0)
+    sh = 0.5 * jnp.sqrt(c.G * jnp.tanh(akd_s) / wavnum) * (
+        1.0 + 2.0 * akd_s / kernelmode.sinh(2.0 * akd_s))
+    dp = (c.G / (4.0 * c.PI)) / (om / c.ZPI)
+    return jnp.where(akd <= 10.0, sh, dp)
+
+
 @dataclasses.dataclass(frozen=True)
 class PhysicsConfig:
     """Static configuration closed over by the jitted step."""
@@ -200,7 +225,7 @@ def implsch(cfg: PhysicsConfig, fl1, env, frc,
 
     if params.iphys == 1:
         fld, sl = sdissip_mod.sdissip_ard(
-            fl1, fld, sl, env["wavnum"], env["cgroup"], env["xk2cg"],
+            fl1, fld, sl, env["wavnum"], env.get("cgroup"), env["xk2cg"],
             ufric, st["coswdif"], st["raorw"], tb, params,
             cfg.sat_indices, cfg.sat_weights)
     else:
@@ -230,8 +255,11 @@ def implsch(cfg: PhysicsConfig, fl1, env, frc,
     if cfg.licerun and (cfg.lciwa1 or cfg.lciwa2 or cfg.lciwa3):
         from ecwam_tpu.ops.physics import sdice as sdice_mod
         cithick = frc.get("cithick", jnp.zeros_like(frc["cicover"]))
+        cgroup = env.get("cgroup")
+        if cgroup is None:
+            cgroup = _derive_cgroup(env["wavnum"], env["depth"], tb, dt)
         fld, sl, _slice = sdice_mod.sdice(
-            fl1, fld, sl, env["wavnum"], env["cgroup"], frc["cicover"],
+            fl1, fld, sl, env["wavnum"], cgroup, frc["cicover"],
             cithick, tb, cfg.idelt,
             lciwa1=cfg.lciwa1, lciwa2=cfg.lciwa2, lciwa3=cfg.lciwa3)
 
@@ -283,8 +311,11 @@ def implsch(cfg: PhysicsConfig, fl1, env, frc,
 
     if cfg.lstokes:
         cithick = frc.get("cithick", jnp.zeros_like(frc["cicover"]))
+        stokfac = env.get("stokfac")
+        if stokfac is None:
+            stokfac = _derive_stokfac(env["wavnum"], env["depth"], tb, dt)
         state.update(stokes_mod.stokestrn(
-            fl1, env["wavnum"], env["stokfac"], env["depth"],
+            fl1, env["wavnum"], stokfac, env["depth"],
             frc["wswave"], frc["wdwave"], frc["cicover"], cithick, tb,
             licerun=cfg.licerun, lwamrsetci=cfg.lwamrsetci,
             lstrn=cfg.lstrn))

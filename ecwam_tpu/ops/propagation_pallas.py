@@ -39,6 +39,9 @@ PT_GEOM = 4            # 8 columns: zdello, cosphm1, tanph, dp_s, dp_n, xdella
 PT_VALID = 12
 PT_U, PT_V = 13, 14
 PT_GRADS = 16          # 8 columns (GRADS_FIELDS order)
+PT_TAPS = 24           # 6·EW tap columns when they fit (EW ≤ 17): the
+                       # separate 128-lane-padded tap table wasted
+                       # ~0.6 GB at O512 next to ptab's ~100 empty cols
 
 
 def _pad128(a, axis=-1):
@@ -73,11 +76,17 @@ def pack_tables(ft_dev_np: dict, lc_np: dict, cg_srl_np, cg_land_np,
     if "grads" in ft_dev_np:
         ptab[:, PT_GRADS:PT_GRADS + 8] = np.asarray(ft_dev_np["grads"])
 
-    # one packed tap table [dn(3*EW) | up(3*EW)] — two separately
-    # 128-padded tables would waste ~0.6 GB at O512 shapes
-    taps = _pad128(np.concatenate(
+    # packed taps [dn(3·EW) | up(3·EW)]: folded into ptab's free
+    # columns when they fit (one fewer 128-lane table resident), else a
+    # separate 128-padded table
+    taps_raw = np.concatenate(
         [np.asarray(ft_dev_np["taps_dn"]).reshape(nsrl, -1),
-         np.asarray(ft_dev_np["taps_up"]).reshape(nsrl, -1)], axis=1))
+         np.asarray(ft_dev_np["taps_up"]).reshape(nsrl, -1)], axis=1)
+    if PT_TAPS + taps_raw.shape[1] <= 128:
+        ptab[:, PT_TAPS:PT_TAPS + taps_raw.shape[1]] = taps_raw
+        taps = np.zeros((8, 128))                    # token, never read
+    else:
+        taps = _pad128(taps_raw)
     obs = _pad128(np.asarray(ft_dev_np["obs"]).reshape(nsrl, -1))
     if "pf" in ft_dev_np and ft_dev_np["pf"] is not None:
         pf = _pad128(np.asarray(ft_dev_np["pf"]).reshape(nsrl, -1))
@@ -117,7 +126,8 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
             obs_ref, pf_ref, lc_ref, cgland_ref,
             out_ref,
             wf_dn, wf_up, wf_ow, wc_dn, wc_up, wc_ow, sems,
-            *, S, EW, TS, nang, nfre, irefra, fratio, cmtodeg):
+            *, S, EW, TS, nang, nfre, irefra, fratio, cmtodeg,
+            taps_merged):
     L = nang * nfre
     LP = f_hbm.shape[1]
     EWG = ((EW + 2 + 7) // 8) * 8
@@ -213,9 +223,12 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
         cow = wc_ow[pl.ds(r0, TS + 16), :]
 
         f_own = wow[8:TS + 8, :]
-        taps = taps_ref[pl.ds(r0, TS), :]
         pt = ptab_ref[pl.ds(r0, TS), :]
         obs = obs_ref[pl.ds(r0, TS), :]
+        if taps_merged:
+            taps, tap0 = pt, PT_TAPS
+        else:
+            taps, tap0 = taps_ref[pl.ds(r0, TS), :], 0
 
         def col(i):
             return pt[:, i:i + 1]
@@ -223,7 +236,7 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
         def fir(win, field):
             acc = None
             for e in range(EW):
-                tap = taps[:, field * EW + e].reshape(TS, 1)
+                tap = taps[:, tap0 + field * EW + e].reshape(TS, 1)
                 v = win[e:e + TS, :]
                 acc = tap * v if acc is None else acc + tap * v
             return acc
@@ -419,13 +432,15 @@ def advect_pallas(f_srl_p, tabs, *, nang, nfre, irefra, S, EW, fratio,
         return pl.BlockSpec((S, cols), lambda i, *_: (i, 0))
 
     pf_full = tabs["pf"].shape[0] == nsrl
+    taps_merged = tabs["taps"].shape[0] != nsrl
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),        # f_srl
             pl.BlockSpec(memory_space=pl.ANY),        # cg_srl
-            row_spec(tabs["taps"].shape[1]),
+            (row_spec(tabs["taps"].shape[1]) if not taps_merged
+             else pl.BlockSpec((8, 128), lambda i, *_: (0, 0))),
             row_spec(128),                             # ptab
             row_spec(tabs["obs"].shape[1]),
             (row_spec(tabs["pf"].shape[1]) if pf_full
@@ -446,7 +461,7 @@ def advect_pallas(f_srl_p, tabs, *, nang, nfre, irefra, S, EW, fratio,
     )
     kern = functools.partial(
         _kernel, S=S, EW=EW, TS=TS, nang=nang, nfre=nfre, irefra=irefra,
-        fratio=fratio, cmtodeg=360.0 / c.CIRC)
+        fratio=fratio, cmtodeg=360.0 / c.CIRC, taps_merged=taps_merged)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,

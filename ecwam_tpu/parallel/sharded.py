@@ -674,8 +674,10 @@ def _build_fused_sharded(setup: ModelSetup, mesh: Mesh, *,
             return self.from_layout(comp)
 
         def put_stress6(self, stress):
-            rows = np.stack([self.to_layout(np.asarray(stress[k]))
-                             for k in ipk.STRESS_KEYS])
+            rows = np.stack(
+                [self.to_layout(np.asarray(stress[k]))
+                 for k in ipk.STRESS_KEYS]).astype(
+                     np.dtype(str(jnp.dtype(dt))))
             return mp_device_put(rows, NamedSharding(mesh, s6_spec))
 
         def stress6_to_dict(self, s6):
