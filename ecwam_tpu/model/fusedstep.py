@@ -268,7 +268,8 @@ class FusedPropagation:
         res = ipk.implsch_pallas_srl(
             cfg, f_srl, env2d, scal, tail,
             nang=self.nang, nfre_red=self.nfre_red, full=full,
-            tile=self.phys_tile, interpret=self.interpret)
+            tile=self.phys_tile,
+            interpret=self.interpret or self.backend != "pallas")
         i = 2 + (tail is not None)
         out = [res[0], res[1][:6]]
         if tail is not None:

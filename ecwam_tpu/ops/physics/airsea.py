@@ -127,6 +127,8 @@ def taut_z0_gc(utop, udir, tauw, tauwdir, ustar_guess, halp, rnfac,
     xkutop = pp.XKAPPA * utop
 
     def body1(_, carry):
+        # ``done`` is a 0/1 float: Mosaic cannot legalize loops with i1
+        # vector carries, and the kernel path unrolls anyway
         ustold, tauold, ust, z0c, tauunr, done = carry
         z0n = jnp.maximum(
             pp.XNLEV / (jnp.exp(jnp.minimum(xkutop / ustold, 50.0)) - 1.0),
@@ -138,18 +140,20 @@ def taut_z0_gc(utop, udir, tauw, tauwdir, ustar_guess, halp, rnfac,
             ang, ustold, z0n, z0min, halp, rnfac, gct, params)
         taunew = tauweff + tauv + tauunr_n
         ustmix = w1 * ustold + (1.0 - w1) * jnp.sqrt(taunew)
-        done_new = done | (jnp.abs(ustmix - ustold) < pce_gc * ustmix)
-        ust = jnp.where(done, ust, ustmix)
-        z0c = jnp.where(done, z0c, z0n)
-        tauunr = jnp.where(done, tauunr, tauunr_n)
-        tauold = jnp.where(done_new, tauold, ustmix**2)
-        ustold = jnp.where(done_new, ustold, ustmix)
+        done_new = jnp.maximum(
+            done,
+            (jnp.abs(ustmix - ustold) < pce_gc * ustmix).astype(done.dtype))
+        ust = jnp.where(done > 0.5, ust, ustmix)
+        z0c = jnp.where(done > 0.5, z0c, z0n)
+        tauunr = jnp.where(done > 0.5, tauunr, tauunr_n)
+        tauold = jnp.where(done_new > 0.5, tauold, ustmix**2)
+        ustold = jnp.where(done_new > 0.5, ustold, ustmix)
         return ustold, tauold, ust, z0c, tauunr, done_new
 
     init1 = (ustar, ustar**2, ustar, jnp.zeros_like(ustar),
-             jnp.zeros_like(ustar), jnp.zeros(ustar.shape, bool))
-    _, tauold1, ustar, z0raw, tauunr, conv1 = jax.lax.fori_loop(
-        0, NITER, body1, init1)
+             jnp.zeros_like(ustar), jnp.zeros_like(ustar))
+    _, tauold1, ustar, z0raw, tauunr, conv1f = _niter_loop(body1, init1)
+    conv1 = conv1f > 0.5
 
     x1 = tauweff / tauold1
     fallback = (~conv1) & (x1 >= pmax)
@@ -186,19 +190,21 @@ def taut_z0_gc(utop, udir, tauw, tauwdir, ustar_guess, halp, rnfac,
         ust_n = jnp.where(delf != 0.0, ustold - f / delf, ustold)
         taunew = jnp.maximum(ust_n**2, tauweff)
         ust_n = jnp.sqrt(taunew)
-        done_new = done | (jnp.abs(taunew - tauold) < pce_gc * tauold)
-        ust = jnp.where(done, ust, ust_n)
-        z0c = jnp.where(done, z0c, z0_n)
-        z0bc = jnp.where(done, z0bc, z0b_n)
-        xk = jnp.where(done, xk, x)
-        tauold = jnp.where(done_new, tauold, taunew)
-        ustold = jnp.where(done_new, ustold, ust_n)
+        done_new = jnp.maximum(
+            done,
+            (jnp.abs(taunew - tauold) < pce_gc * tauold).astype(done.dtype))
+        ust = jnp.where(done > 0.5, ust, ust_n)
+        z0c = jnp.where(done > 0.5, z0c, z0_n)
+        z0bc = jnp.where(done > 0.5, z0bc, z0b_n)
+        xk = jnp.where(done > 0.5, xk, x)
+        tauold = jnp.where(done_new > 0.5, tauold, taunew)
+        ustold = jnp.where(done_new > 0.5, ustold, ust_n)
         return ustold, tauold, ust, z0c, z0bc, xk, done_new
 
     init2 = (ustar, tau0, ustar, z0, z0b, jnp.zeros_like(ustar),
-             jnp.zeros(ustar.shape, bool))
-    _, _, ust2, z02, z0b2, x2, conv2 = jax.lax.fori_loop(
-        0, NITER, body2, init2)
+             jnp.zeros_like(ustar))
+    _, _, ust2, z02, z0b2, x2, conv2f = _niter_loop(body2, init2)
+    conv2 = conv2f > 0.5
 
     # no-convergence restore (taut_z0.F90:266-273)
     ust2 = jnp.where(conv2, ust2, usnrf)

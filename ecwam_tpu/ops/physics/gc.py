@@ -33,6 +33,16 @@ import numpy as np
 
 from ecwam_tpu.core import constants as c
 from ecwam_tpu.core import physparams as pp
+from ecwam_tpu.ops.physics import kernelmode
+
+
+def _tab(table, idx):
+    """table[idx] for per-point int indices — one-hot inside Pallas
+    kernels (Mosaic has no per-lane dynamic gather), plain gather in XLA
+    (bit-identical results either way)."""
+    if kernelmode.PALLAS_SAFE:
+        return kernelmode.take_table(table, idx)
+    return table[idx]
 
 KRATIO_GC = 1.2          # yowfred.F90:62
 XKS_GC = 0.006           # smallest gc wavenumber (yowfred.F90:64)
@@ -115,7 +125,7 @@ def omegagc(ustar, gct: GCTables):
     ns = ns_gc(ustar, gct)
     xk_d = jnp.asarray(gct.xk, ustar.dtype)
     om_d = jnp.asarray(gct.omega, ustar.dtype)
-    return ns, xk_d[ns], om_d[ns]
+    return ns, _tab(xk_d, ns), _tab(om_d, ns)
 
 
 def stress_gc(ang_gc, ustar, z0, z0min, halp, rnfac,
@@ -135,7 +145,7 @@ def stress_gc(ang_gc, ustar, z0, z0min, halp, rnfac,
     xkmsqrtvgoc2 = jnp.asarray(gct.xkmsqrtvgoc2, dt)[None, :]
     delkcc_omxkm3 = jnp.asarray(gct.delkcc_omxkm3, dt)[None, :]
     dns_omxkm3 = jnp.asarray(gct.delkcc_ns * gct.omxkm3, dt)
-    c2osqrtvg_ns = jnp.asarray(gct.c2osqrtvg, dt)[ns]
+    c2osqrtvg_ns = _tab(jnp.asarray(gct.c2osqrtvg, dt), ns)
 
     tauwcg_min = (ustar * (z0min / z0))**2
     xlambda = 1.0 + xlama * jnp.tanh(xlamb * ustar**nlam)
@@ -159,8 +169,13 @@ def stress_gc(ang_gc, ustar, z0, z0min, halp, rnfac,
     tail = jnp.sum(
         jnp.where(iwav > ns[:, None], gam_w * delkcc_omxkm3 * gamnorma, 0.0),
         axis=1)
-    g_ns = jnp.take_along_axis(gam_w * gamnorma, ns[:, None], axis=1)[:, 0]
-    tauwcg = g_ns * dns_omxkm3[ns] + tail
+    if kernelmode.PALLAS_SAFE:
+        g_ns = jnp.sum(jnp.where(iwav == ns[:, None],
+                                 gam_w * gamnorma, 0.0), axis=1)
+    else:
+        g_ns = jnp.take_along_axis(
+            gam_w * gamnorma, ns[:, None], axis=1)[:, 0]
+    tauwcg = g_ns * _tab(dns_omxkm3, ns) + tail
     return jnp.maximum(zabhrc * tauwcg, tauwcg_min)
 
 
@@ -211,11 +226,11 @@ def meansqs_gc(xkmss: float, halp, ustar, gct: GCTables):
     # where the spectral cut-off exceeds the msqs cut-off, integrate nothing
     over = xks > xkmss
     ns_eff = jnp.where(over, ne, ns)
-    base = jnp.where(over, 0.0, dns_xkm[ns_eff])
+    base = jnp.where(over, 0.0, _tab(dns_xkm, ns_eff))
     iwav = jnp.arange(gct.nwav, dtype=jnp.int32)[None, :]
     mask = (iwav > ns_eff[:, None]) & (iwav <= ne)
     xmss = base + jnp.sum(jnp.where(mask, dcc_xkm, 0.0), axis=1)
-    return xmss * c2osqrtvg[ns_eff] * halp, frgc
+    return xmss * _tab(c2osqrtvg, ns_eff) * halp, frgc
 
 
 def meansqs(xkmss: float, fl1, wavnum, ustar, coswdif, tb,

@@ -406,7 +406,3 @@ def _check_cfg(cfg):
         raise NotImplementedError(
             "ISNONLIN=2 (PEAK_ANG spread enhancement) runs on the XLA "
             "physics path only")
-    if cfg.params.llgcbz0:
-        raise NotImplementedError(
-            "LLGCBZ0 (gravity-capillary stress closure) runs on the XLA "
-            "physics path only for now")

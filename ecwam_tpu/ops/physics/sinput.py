@@ -146,6 +146,54 @@ def sinput_ard(fl1, wavnum, cinv, xk2cg,
             dstab1 = coef5 * aird_pvisc * wav_m
             temp1 = coef * raorw
 
+        if kernelmode.PALLAS_SAFE and ngst > 1:
+            # batched gust dimension (leading axis): one set of
+            # (ngst, nang, npts) ops instead of ngst small repeats —
+            # fewer, larger vector ops for the Mosaic kernel
+            if ltauwshelter:
+                coslp = jnp.cos(th[None] - usdirp[:, None, :])
+            else:
+                coslp = jnp.broadcast_to(coswdif[None],
+                                         (ngst, nang, npts))
+            x = coslp * ucn[:, None, :]
+            zlog = zcn[None, None, :] + ucnzalpd[:, None, :] / \
+                jnp.where(coslp > 0.01, coslp, 1.0)
+            active = (coslp > 0.01) & (zlog < 0.0)
+            zlog2x = zlog * zlog * x
+            gam0 = jnp.where(
+                active,
+                jnp.exp(zlog) * zlog2x * zlog2x * cnsn[None, None, :],
+                0.0)
+            xllws_m = jnp.max(active.astype(dt), axis=0)
+            if params.llnormagam:
+                sumf = jnp.sum(gam0 * fl1_m[None], axis=1)
+                sumfsin2 = jnp.sum(
+                    gam0 * fl1_m[None] * sinwdif2[None], axis=1)
+                znz = (cstrnfac[None] * _ix(xk2cg, m)[None]) * ustpm1
+                gamnorma = (1.0 + znz * sumfsin2) / (1.0 + znz * sumf)
+            else:
+                gamnorma = jnp.ones((ngst, npts), dt)
+            if llsneg:
+                dstab2 = temp1[None, None, :] * (
+                    temp2[None, None, :]
+                    + (fu + fud * coslp) * ustp[:, None, :])
+                dstab = dstab1[None, None, :] + \
+                    pturb[None, None, :] * dstab2
+            else:
+                dstab = jnp.zeros((ngst, nang, npts), dt)
+            slp = gam0 * gamnorma[:, None, :]
+            flp = slp + dstab
+            slpf = slp * fl1_m[None]
+            if ltauwshelter:
+                xstress = xstress + jnp.sum(
+                    slpf * sinth[None], axis=1) * constf[None, :]
+                ystress = ystress + jnp.sum(
+                    slpf * costh[None], axis=1) * constf[None, :]
+            spos_m = avg_gst * jnp.sum(slpf, axis=0)
+            fld_m = avg_gst * jnp.sum(flp, axis=0)
+            sl_m = fld_m * fl1_m
+            return (xstress, ystress), (fld_m, sl_m, spos_m, xllws_m)
+
         xllws_m = jnp.zeros((nang, npts), dt)
         spos_sum = jnp.zeros((nang, npts), dt)
         fld_sum = jnp.zeros((nang, npts), dt)

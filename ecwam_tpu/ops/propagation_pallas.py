@@ -421,9 +421,12 @@ def advect_pallas(f_srl_p, tabs, *, nang, nfre, irefra, S, EW, fratio,
     """
     from ecwam_tpu.core import constants as c
 
+    import os
     nsrl, LP = f_srl_p.shape
     nblocks = nsrl // S
-    TS = min(32, S)
+    # strip size: bigger strips = fewer, larger VPU ops per block
+    # (ECWAVE_ADV_TS knob for tuning; 32 measured best at O512 r3)
+    TS = min(int(os.environ.get("ECWAVE_ADV_TS", "32")), S)
     EWG = ((EW + 2 + 7) // 8) * 8
     dt = f_srl_p.dtype
     NFP = tabs["cg"].shape[1]

@@ -21,4 +21,15 @@ os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402
 
+# HARD-force the cpu backend: the image's sitecustomize registers the
+# axon/TPU PJRT plugin at interpreter start and (when the single-tenant
+# TPU grant is free) overrides the platform selection, so the
+# JAX_PLATFORMS env set above is too late when pytest is launched bare.
+# jax.config wins over the plugin's registration as long as no backend
+# has been initialized yet.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh; launch as "
+    "PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m pytest tests/")
+assert len(jax.devices()) >= 8

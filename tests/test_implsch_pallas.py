@@ -144,6 +144,23 @@ def test_snonlin_mc_loop_matches_projection_f64():
 @pytest.mark.parametrize("full", [False, True])
 def test_kernel_compact_interpret_matches_direct(full):
     tb, cfg, env, fl1, frc, stress = _problem()
+    _check_kernel_vs_direct(tb, cfg, env, fl1, frc, stress, full)
+
+
+def test_kernel_llgcbz0_cy49_interpret_matches_direct():
+    """cy49r1-class physics (LLGCBZ0 gravity-capillary closure +
+    LLNORMAGAM + LLCAPCHNK) through the fused kernel."""
+    from ecwam_tpu.core import physparams as pp2
+    from ecwam_tpu.core.spectral import build_spectral_tables
+    tb2 = build_spectral_tables(nang=NANG, nfre=NFRE)
+    params = pp2.set_phys_params(iphys=1, nang=NANG, llgcbz0=True,
+                                 llnormagam=True, llcapchnk=True)
+    cfg = impl.make_physics_config(tb2, params, idelt=900.0)
+    tb, _, env, fl1, frc, stress = _problem()
+    _check_kernel_vs_direct(tb2, cfg, env, fl1, frc, stress, False)
+
+
+def _check_kernel_vs_direct(tb, cfg, env, fl1, frc, stress, full):
     out_ref, st_ref = _direct(cfg, env, fl1, frc, stress, safe=True)
     env2d = ipk.pack_env(env, tb.nfre, DT)
     scal = ipk.pack_scal(frc, stress, env, NPTS, DT)
