@@ -197,7 +197,7 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
     import jax.numpy as jnp
     import numpy as np
     from ecwam_tpu.model import setup as setup_mod
-    from ecwam_tpu.model import preset, stepper as stepper_mod
+    from ecwam_tpu.model import stepper as stepper_mod
     from ecwam_tpu.model.fusedstep import FusedPropagation
     from ecwam_tpu.ops.physics import implsch_pallas as ipk
 
@@ -242,49 +242,18 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
     env2d.block_until_ready()
     log(f"phys SRL inputs in {time.time()-t0:.0f}s")
 
-    # initial state built HOST-SIDE directly in the SRL layout: one
-    # device push, no compact copy resident on device (at the 1M-point
-    # shapes the compact+SRL duplication would not fit HBM).  MSTART in
-    # k-major lane order: spread(th)⊗jonswap(fr) is already
-    # (npts, nang, nfre) — the (nang, nfre, npts) detour costs a strided
-    # 4.5 GB f64 transpose+concat+pad chain (~3 min at O512)
+    # initial state built ON DEVICE directly in the SRL layout (MSTART
+    # is closed-form per bin): the former host build + 5.2 GB relay push
+    # cost ~11 min at O512; one jitted kernel replaces both
     t0 = time.time()
     L = nang * nfre_red
-    LPb = fp.LP if fp.backend == "pallas" else fp.L
     LT = nang * (nfre - nfre_red)
     LTP = -(-LT // 128) * 128 if LT else 0
-    fpk, alphaj = preset.peak(wswave, 50000.0, 0.2)
-    et = np.asarray(preset.jonswap_1d(ms.tb.fr, fpk, alphaj,
-                                      3.0, 0.07, 0.09), np.float32)
-    st_sp = np.asarray(preset.spread(ms.tb.th, wdwave), np.float32)
-    src = np.asarray(ft.srl_src)
-    # einsum with out= writes the outer product straight into the padded
-    # row buffer (no 4.5 GB (n, nang, nfre) temp — ~2x on this 2-CPU
-    # host whose memory traffic dominates the build)
-    fll = np.zeros((n + 1, LPb), np.float32)
-    np.einsum("nk,nm->nkm", st_sp, et[:, :nfre_red],
-              out=fll[:n, :L].reshape(n, nang, nfre_red))
-    f_srl_np = fll[src]
-    tail_np = None
-    if LT:
-        tl = np.zeros((n + 1, LTP), np.float32)
-        np.einsum("nk,nm->nkm", st_sp, et[:, nfre_red:],
-                  out=tl[:n, :LT].reshape(n, nang, nfre - nfre_red))
-        tail_np = tl[src]
-        del tl
-    del fll, et, st_sp
-    log(f"initial SRL state built in {time.time()-t0:.0f}s "
-        f"({f_srl_np.nbytes/1e9:.1f} GB)")
-    t0 = time.time()
-    f_srl = jnp.asarray(f_srl_np)
+    f_srl, tail = fp.initial_srl(wswave.astype(np.float32),
+                                 wdwave.astype(np.float32))
     f_srl.block_until_ready()
-    del f_srl_np
-    tail = None
-    if tail_np is not None:
-        tail = jnp.asarray(tail_np)
-        tail.block_until_ready()
-        del tail_np
-    log(f"pushed in {time.time()-t0:.0f}s")
+    log(f"initial SRL state on device in {time.time()-t0:.0f}s "
+        f"({f_srl.nbytes/1e9:.1f} GB)")
 
     # donate: without aliasing, wrap-refresh + kernel output hold THREE
     # SRL copies live (16.7 GB at O512 — the round-3 OOM)

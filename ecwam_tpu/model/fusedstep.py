@@ -20,6 +20,8 @@ lane-padded (nsrl, LP) state (LP = 128-multiple of nang·nfre).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -229,9 +231,11 @@ class FusedPropagation:
     @property
     def phys_tile(self) -> int:
         """Point-tile size of the physics kernel (Mosaic lane-blocked
-        inputs need 128 lanes; the kernel row-pads internally when the
-        SRL length is not a multiple)."""
-        return 128
+        inputs need a 128-multiple; the kernel row-pads internally when
+        the SRL length is not a multiple).  Larger tiles amortize
+        per-op overhead across more lanes at the cost of VMEM."""
+        import os
+        return int(os.environ.get("ECWAVE_PHYS_TILE", "128"))
 
     def build_phys_srl(self, frc, stress):
         """One-time device build of the SRL-ordered physics inputs.
@@ -250,6 +254,57 @@ class FusedPropagation:
     def frc_srl(self, frc):
         """Forcing rows (6, nsrl) in SRL order (NEWWIND update)."""
         return _frc_srl(frc, self.bundle["dev"]["srl_src"])
+
+    def initial_srl(self, wswave, wdwave, *, fetch: float = 50000.0,
+                    frmax: float = 0.2, zgamma: float = 3.0,
+                    sa: float = 0.07, sb: float = 0.09):
+        """JONSWAP cold start built ON DEVICE directly in the SRL layout
+        (MSTART IOPTI=1, preset.F90:634 / mstart.F90:49-80).
+
+        The host path builds the full (nsrl, LP) spectrum in numpy and
+        ships ~5 GB through the relay (~10 min at O512); MSTART is
+        closed-form per (point, bin), so one jitted kernel writes the
+        state straight into device HBM from two (n_pad,) wind rows.
+
+        Returns (f_srl, tail) with ``tail`` None when nfre_red == nfre.
+        """
+        from ecwam_tpu.model import preset as preset_mod
+        tb = self.setup.tb
+        nang, nfre, nfre_red = self.nang, tb.nfre, self.nfre_red
+        L, LP = self.L, (self.LP if self.backend == "pallas" else self.L)
+        LT = nang * (nfre - nfre_red)
+        LTP = -(-LT // 128) * 128 if LT else 0
+        dt = self.dtype
+        fr = np.asarray(tb.fr)
+        th = np.asarray(tb.th)
+        src = self.bundle["dev"]["srl_src"]
+
+        @functools.partial(jax.jit, static_argnames=("with_tail",))
+        def _build(wsw, wdw, src, with_tail):
+            ws = jnp.concatenate([jnp.asarray(wsw, dt),
+                                  jnp.zeros(1, dt)])[src]
+            wd = jnp.concatenate([jnp.asarray(wdw, dt),
+                                  jnp.zeros(1, dt)])[src]
+            fpk, alphaj = preset_mod.peak(ws, fetch, frmax, xp=jnp)
+            et = preset_mod.jonswap_1d(jnp.asarray(fr, dt), fpk, alphaj,
+                                       zgamma, sa, sb, xp=jnp)
+            st = preset_mod.spread(jnp.asarray(th, dt), wd, xp=jnp)
+            nsrl = src.shape[0]
+
+            def pack(et_part, lanes, lanes_pad):
+                body = (st[:, :, None] * et_part[:, None, :]).reshape(
+                    nsrl, lanes)
+                if lanes_pad > lanes:
+                    body = jnp.concatenate(
+                        [body, jnp.zeros((nsrl, lanes_pad - lanes), dt)],
+                        axis=1)
+                return body
+
+            f_srl = pack(et[:, :nfre_red], L, LP)
+            tail = pack(et[:, nfre_red:], LT, LTP) if with_tail else None
+            return f_srl, tail
+
+        return _build(wswave, wdwave, src, LT > 0)
 
     def phys_srl_pallas(self, f_srl, stress6, frc6, denv, env2d,
                         tail=None, *, full: bool = False):

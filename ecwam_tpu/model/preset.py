@@ -24,40 +24,47 @@ DJONS = -3.0 / 10.0
 EJONS = 2.0 / 3.0
 
 
-def peak(u10, fetch: float, fpmax: float):
-    """Fetch-limited peak frequency and alpha (peak.F90:38-53)."""
-    u10 = np.asarray(u10, dtype=np.float64)
+def peak(u10, fetch: float, fpmax: float, xp=np):
+    """Fetch-limited peak frequency and alpha (peak.F90:38-53).
+
+    ``xp`` selects the array backend (numpy on host, jax.numpy for the
+    on-device cold start — MSTART is closed-form per point, so building
+    the initial state on device avoids shipping the full spectrum
+    through the host)."""
+    if xp is np:
+        u10 = np.asarray(u10, dtype=np.float64)
     windy = u10 > 0.1e-8
-    u = np.where(windy, u10, 1.0)
+    u = xp.where(windy, u10, 1.0)
     gxu = c.G * fetch / (u * u)
     ug = c.G / u
-    fp = np.clip(AJONS * gxu**DJONS, 0.13, None)
-    fp = np.minimum(fp, fpmax / ug)
-    alphaj = np.maximum(BJONS * fp**EJONS, 0.0081)
-    return np.where(windy, fp * ug, 0.0), np.where(windy, alphaj, 0.0)
+    fp = xp.maximum(AJONS * gxu**DJONS, 0.13)
+    fp = xp.minimum(fp, fpmax / ug)
+    alphaj = xp.maximum(BJONS * fp**EJONS, 0.0081)
+    return xp.where(windy, fp * ug, 0.0), xp.where(windy, alphaj, 0.0)
 
 
-def jonswap_1d(fr, fp, alphaj, zgamma: float, sa: float, sb: float):
+def jonswap_1d(fr, fp, alphaj, zgamma: float, sa: float, sb: float,
+               xp=np):
     """JONSWAP spectrum ET(pt, nfre) (jonswap.F90:39-62)."""
-    fr = np.asarray(fr)[None, :]
-    fp = np.asarray(fp)[:, None]
-    alphaj = np.asarray(alphaj)[:, None]
-    sigma = np.where(fr > fp, sb, sa)
+    fr = xp.asarray(fr)[None, :]
+    fp = xp.asarray(fp)[:, None]
+    alphaj = xp.asarray(alphaj)[:, None]
+    sigma = xp.where(fr > fp, sb, sa)
     active = (alphaj != 0.0) & (fp != 0.0)
-    fp_safe = np.where(fp == 0.0, 1.0, fp)
-    earg = np.minimum(0.5 * ((fr - fp_safe) / (sigma * fp_safe)) ** 2, 50.0)
-    fjon = zgamma ** np.exp(-earg)
-    fmpf = np.minimum(1.25 * (fp_safe / fr) ** 4, 50.0)
-    et = (alphaj / (fr**5 * c.ZPI4GM2)) * np.exp(-fmpf) * fjon
-    return np.where(active, et, 0.0)
+    fp_safe = xp.where(fp == 0.0, 1.0, fp)
+    earg = xp.minimum(0.5 * ((fr - fp_safe) / (sigma * fp_safe)) ** 2, 50.0)
+    fjon = zgamma ** xp.exp(-earg)
+    fmpf = xp.minimum(1.25 * (fp_safe / fr) ** 4, 50.0)
+    et = (alphaj / (fr**5 * c.ZPI4GM2)) * xp.exp(-fmpf) * fjon
+    return xp.where(active, et, 0.0)
 
 
-def spread(th, thetaq):
+def spread(th, thetaq, xp=np):
     """cos² spreading ST(pt, nang) (spr.F90:40-52)."""
-    the = np.cos(th[None, :] - np.asarray(thetaq)[:, None])
+    the = xp.cos(xp.asarray(th)[None, :] - xp.asarray(thetaq)[:, None])
     st = (2.0 / c.PI) * the**2
-    st = np.where(st < 0.1e-8, 0.0, st)
-    return np.where(the > 0.0, st, 0.0)
+    st = xp.where(st < 0.1e-8, 0.0, st)
+    return xp.where(the > 0.0, st, 0.0)
 
 
 def mstart(tb, wswave, wdwave, *, iopti: int = 1,

@@ -38,6 +38,12 @@ CON = 3000.0             # numerical constant (nlweigt.F90:70)
 ENH_MAX = 10.0
 ENH_MIN = 0.1
 
+# In-kernel SNONLIN formulation: "batched" (frequency-batched shifts,
+# ~200 large VPU ops) with automatic fallback to "loop" (per-MC static
+# scatter, the round-4 form) when the DIA geometry is not a pure ramp.
+import os as _os
+KERNEL_DIA = _os.environ.get("ECWAVE_KERNEL_DIA", "batched")
+
 
 def _jafu(cl: float, j: int, ian: int) -> int:
     """Angular index shift (jafu.F90:28-34); 1-based in/out."""
@@ -545,6 +551,170 @@ def build_dia_projection(dia: DiaTables) -> DiaProjection:
     return out
 
 
+def _ramp_offset(idx: np.ndarray, lo: int, hi: int):
+    """If ``idx`` equals ``clip(arange + d, lo, hi)`` return d, else None."""
+    j = np.arange(len(idx))
+    d = int(idx[len(idx) // 2]) - len(idx) // 2
+    if np.array_equal(idx, np.clip(j + d, lo, hi)):
+        return d
+    return None
+
+
+def _affine_offset(raw: np.ndarray):
+    """If raw Fortran index array is exactly ``arange(1..) + off`` return
+    off (the scatter j = f - off inverse), else None."""
+    mc = np.arange(1, len(raw) + 1)
+    off = int(raw[0]) - 1
+    if np.array_equal(raw, mc + off):
+        return off
+    return None
+
+
+def _dia_is_rampable(dia: DiaTables) -> bool:
+    """True when every DIA gather/scatter index is a pure (clipped)
+    affine ramp — holds for the standard λ=0.25 geometry at any
+    (nang, nfre, fratio); checked so the batched kernel form can fall
+    back to the generic per-MC loop otherwise."""
+    nf = dia.nfre - 1
+    ramps = [_ramp_offset(a, 0, nf)
+             for a in (dia.ic, dia.ip, dia.ip1, dia.im, dia.im1)]
+    affs = [_affine_offset(a)
+            for a in (dia.ikp, dia.ikp1, dia.ikm, dia.ikm1)]
+    return all(v is not None for v in ramps + affs)
+
+
+def _snonlin_batched(fl1, fld, sl, enh, dia: DiaTables):
+    """Frequency-batched DIA for the Pallas kernel — the per-MC loop
+    collapsed into ~200 large VPU ops (snonlin.F90:168-460 semantics).
+
+    All gather indices are clipped ramps and all scatter targets affine
+    maps (see :func:`_dia_is_rampable`), so:
+      * the five gathered spectra become edge-replicated frequency
+        *shifts* of the (per-KH direction-rolled) spectrum, batched over
+        the whole extended-frequency ladder: (nang, mlsthg, C) tensors;
+      * the quadruplet algebra runs once per KH on those tensors;
+      * each of the nine scatter targets is a per-MC-weighted
+        zero-padded frequency shift accumulated per direction-rotation,
+        with ONE direction roll per distinct rotation.
+
+    Static slices + concats only — Mosaic-lowerable (no gather, no
+    dynamic indexing).  Algebraically identical to the projection
+    formulation (pinned by tests/test_implsch_pallas.py).
+    """
+    dt = fl1.dtype
+    nang, nfre, npts = fl1.shape
+    mlsthg = dia.mlsthg
+    pr = build_dia_projection(dia)
+
+    d_ic = _ramp_offset(dia.ic, 0, nfre - 1)
+    d_ip = _ramp_offset(dia.ip, 0, nfre - 1)
+    d_ip1 = _ramp_offset(dia.ip1, 0, nfre - 1)
+    d_im = _ramp_offset(dia.im, 0, nfre - 1)
+    d_im1 = _ramp_offset(dia.im1, 0, nfre - 1)
+    o_mp = _affine_offset(dia.ikp)
+    o_mp1 = _affine_offset(dia.ikp1)
+    o_mm = _affine_offset(dia.ikm)
+    o_mm1 = _affine_offset(dia.ikm1)
+
+    r = dia.rnl.astype(np.float64)
+
+    def w(i):
+        """Per-MC weight row as a pre-broadcast (1, mlsthg, npts)
+        constant — a lane-aligned operand (broadcasting a lane-size-1
+        operand per use costs a splat per op in Mosaic)."""
+        return jnp.asarray(
+            np.broadcast_to(r[i].reshape(1, mlsthg, 1),
+                            (1, mlsthg, npts)), dt)
+
+    (ftail, gw1, gw2, gw3, gw4) = (w(i) for i in (0, 1, 2, 3, 4))
+    (gw5, gw6, gw7, gw8) = (w(i) for i in (13, 14, 15, 16))
+    (fklampa, fklampb, fklamp2, fklamp1) = (w(i) for i in (5, 6, 7, 8))
+    (fklapa2, fklapb2, fklap12, fklap22) = (w(i) for i in (9, 10, 11, 12))
+    (fklamma, fklammb, fklamm2, fklamm1) = (w(i) for i in (17, 18, 19, 20))
+    (fklama2, fklamb2, fklam12, fklam22) = (w(i) for i in (21, 22, 23, 24))
+    af11 = jnp.asarray(
+        np.broadcast_to(
+            np.asarray(dia.af11, np.float64).reshape(1, mlsthg, 1),
+            (1, mlsthg, npts)), dt)
+
+    def view(x, d):
+        """x[:, clip(j+d, 0, nfre-1), :] for j in [0, mlsthg) — concat of
+        an edge-replicated head/tail around a static middle slice."""
+        lo = max(0, -d)
+        hi = max(0, mlsthg + d - nfre)
+        parts = [x[:, :1, :]] * lo
+        parts.append(x[:, max(0, d):min(nfre, mlsthg + d), :])
+        parts.extend([x[:, nfre - 1:nfre, :]] * hi)
+        return parts[0] if len(parts) == 1 else jnp.concatenate(
+            parts, axis=1)
+
+    def scat(wx, o):
+        """out[:, f, :] = wx[:, f-o, :] (zero where f-o out of range),
+        f in [0, nfre)."""
+        lo = max(0, o)
+        hi = max(0, nfre - o - mlsthg)        # top rows with f-o >= mlsthg
+        body = wx[:, lo - o:min(nfre - o, mlsthg), :]
+        parts = []
+        if lo:
+            parts.append(jnp.zeros((nang, lo, npts), dt))
+        parts.append(body)
+        if hi:
+            parts.append(jnp.zeros((nang, hi, npts), dt))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(
+            parts, axis=1)
+
+    enh_b = enh[None, :, :] if enh.ndim == 2 else enh
+    ftemp = af11 * enh_b                                # (1, mlsthg, C)
+
+    dsl = jnp.zeros((nang, nfre, npts), dt)
+    dfld = jnp.zeros((nang, nfre, npts), dt)
+    for kh in range(2):
+        s1, s11, s2, s21 = (int(x) for x in pr.shifts[kh])
+        R = {s: (fl1 if s == 0 else jnp.roll(fl1, -s, axis=0))
+             for s in {s1, s11, s2, s21}}
+
+        sap = (gw1 * view(R[s1], d_ip) + gw2 * view(R[s11], d_ip)
+               + gw3 * view(R[s1], d_ip1) + gw4 * view(R[s11], d_ip1))
+        sam = (gw5 * view(R[s2], d_im) + gw6 * view(R[s21], d_im)
+               + gw7 * view(R[s2], d_im1) + gw8 * view(R[s21], d_im1))
+        fij = view(fl1, d_ic) * ftail
+        fad1 = fij * (sap + sam)
+        fad2 = fad1 - 2.0 * sap * sam
+        fad1 = fad1 + fad2
+        fcen = ftemp * fij
+        ad = fad2 * fcen
+        delad = fad1 * ftemp
+        delap = (fij - 2.0 * sam) * float(dia.dal1) * fcen
+        delam = (fij - 2.0 * sap) * float(dia.dal2) * fcen
+
+        def ur(x, s):
+            return x if s == 0 else jnp.roll(x, s, axis=0)
+
+        # center target (shift 0)
+        dsl = dsl - 2.0 * ad[:, :nfre, :]
+        dfld = dfld - 2.0 * delad[:, :nfre, :]
+        # MM/MM1 at rotations K2/K21
+        dsl = dsl + ur(scat(fklamm1 * ad, o_mm)
+                       + scat(fklamma * ad, o_mm1), s2)
+        dsl = dsl + ur(scat(fklamm2 * ad, o_mm)
+                       + scat(fklammb * ad, o_mm1), s21)
+        dfld = dfld + ur(scat(fklam12 * delam, o_mm)
+                         + scat(fklama2 * delam, o_mm1), s2)
+        dfld = dfld + ur(scat(fklam22 * delam, o_mm)
+                         + scat(fklamb2 * delam, o_mm1), s21)
+        # MP/MP1 at rotations K1/K11
+        dsl = dsl + ur(scat(fklamp1 * ad, o_mp)
+                       + scat(fklampa * ad, o_mp1), s1)
+        dsl = dsl + ur(scat(fklamp2 * ad, o_mp)
+                       + scat(fklampb * ad, o_mp1), s11)
+        dfld = dfld + ur(scat(fklap12 * delap, o_mp)
+                         + scat(fklapa2 * delap, o_mp1), s1)
+        dfld = dfld + ur(scat(fklap22 * delap, o_mp)
+                         + scat(fklapb2 * delap, o_mp1), s11)
+
+    return fld + dfld, sl + dsl
+
+
 def _snonlin_mc_loop(fl1, fld, sl, enh, dia: DiaTables):
     """Per-MC static-scatter DIA — the Fortran loop structure
     (snonlin.F90:168-460) with every index a compile-time constant.
@@ -665,6 +835,8 @@ def snonlin(fl1, fld, sl, wavnum, depth, akmean, tb, dia: DiaTables,
     enh = _enhancement(dia, tb, wavnum, depth, akmean, isnonlin,
                        fl1=fl1)
     if kernelmode.PALLAS_SAFE:
+        if KERNEL_DIA == "batched" and _dia_is_rampable(dia):
+            return _snonlin_batched(fl1, fld, sl, enh, dia)
         return _snonlin_mc_loop(fl1, fld, sl, enh, dia)
 
     r = dia.rnl.astype(np.float64)
