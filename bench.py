@@ -209,7 +209,9 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
     ms = setup_mod.build_model(
         grid_name=grid_name, nang=nang, nfre=nfre, nfre_red=nfre_red,
         idelpro=idelpro, idelt=idelt, pad_to=8192, dtype=jnp.float32,
-        weights_mode="fused")
+        weights_mode="fused",
+        cache_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".table_cache"))
     ft = ms.fused
     log(f"built in {time.time()-t0:.0f}s: n_real={ms.n_real} "
         f"nsrl={ft.nsrl} S={ft.S} EW={ft.EW}")
@@ -338,6 +340,28 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
     except Exception:  # noqa: BLE001
         peak_bytes = None
 
+    def compiled_mem(jfn, *args):
+        """Compiled memory analysis (argument+output+temp+peak) — works
+        through the relay where device memory_stats does not."""
+        try:
+            absargs = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+                if hasattr(a, "shape") else a, args)
+            ma = jfn.lower(*absargs).compile().memory_analysis()
+            return dict(
+                args=float(getattr(ma, "argument_size_in_bytes", 0)),
+                out=float(getattr(ma, "output_size_in_bytes", 0)),
+                temp=float(getattr(ma, "temp_size_in_bytes", 0)),
+                alias=float(getattr(ma, "alias_size_in_bytes", 0)))
+        except Exception:  # noqa: BLE001
+            return None
+
+    mem_adv = compiled_mem(adv_srl, f_srl, bundle)
+    mem_phys = (compiled_mem(phys_srl, f_srl, tail, stress6, frc6,
+                             denv, env2d) if LT else
+                compiled_mem(phys_srl, f_srl, stress6, frc6, denv,
+                             env2d))
+
     bins = ms.n_real * nang * nfre
     value = bins / (dt_pair / 2.0)
     bw = measure_stream_bw(jax, jnp)
@@ -345,15 +369,29 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
     trate = measure_trans_rate(jax, jnp)
 
     # ---- audited roofline models -------------------------------------
-    # advection bytes: per pass the kernel reads 3 spectrum windows
-    # (own S+2, dn/up S+EW each) + writes 1, on the SRL point count; cg
-    # windows are nfre_red lanes; tables ≈ (6·EW+22) f32/point + obs
-    # 8·nfre_red/point.  Extra fast-wave sub-passes advect a band only.
-    srl_bins = nsrl * L
-    win = 3.0 + (2.0 * ft.EW + 2.0) / ft.S
-    per_pass = (win + 1.0) * srl_bins
-    per_pass += (win + 1.0) * nsrl * nfre_red
-    per_pass += nsrl * (6.0 * ft.EW + 22.0 + 8.0 * nfre_red)
+    # advection bytes (pallas kernel): 3 window reads + 1 write of the
+    # lane-padded spectrum (dn/up windows S+EWG rows, own S+24), cg
+    # windows on the 128-lane-padded cg table, the 128-col ptab row
+    # (taps folded in), and the obstruction rows only when the grid has
+    # actual obstructions (skipped statically on open water).  Extra
+    # fast-wave sub-passes advect a band only.
+    pk_tabs = fp.bundle.get("pk") if fp.backend == "pallas" else None
+    if pk_tabs is not None:
+        LPm = fp.LP
+        ew2 = pk_tabs["ewtok"].shape[0]
+        ewg = ((ew2 + 8 + 7) // 8) * 8
+        winf = 3.0 + (2.0 * ewg + 24.0) / ft.S
+        nfp = pk_tabs["cg"].shape[1]
+        obs_cols = (pk_tabs["obs"].shape[1]
+                    if pk_tabs["obs"].shape[0] == nsrl else 0)
+        per_pass = (winf + 1.0) * nsrl * LPm
+        per_pass += winf * nsrl * nfp
+        per_pass += nsrl * (128.0 + obs_cols)
+    else:
+        win = 3.0 + (2.0 * ft.EW + 2.0) / ft.S
+        per_pass = (win + 1.0) * nsrl * L
+        per_pass += (win + 1.0) * nsrl * nfre_red
+        per_pass += nsrl * (6.0 * ft.EW + 22.0 + 8.0 * nfre_red)
     adv_bytes = 4.0 * per_pass
     # physics bytes: ONE spectrum read + write (+ tail block) + env/scal
     # rows + state outputs — the whole point of the fused kernel
@@ -420,6 +458,8 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
         "xla_bytes_per_adv_step": xla_bytes(adv_srl, f_srl, bundle),
         "bytes_per_bin_adv": adv_bytes / bins,
         "device_peak_bytes": peak_bytes,
+        "mem_analysis_adv": mem_adv,
+        "mem_analysis_phys": mem_phys,
     }
 
 

@@ -287,10 +287,12 @@ class FastWaveModel(WaveModel):
             fp, tb = self.fp, self.setup.tb
             out = fp.from_srl(self._f_srl, fp.bundle)
             if self._LT:
-                t = self._jit_extract(self._tail, fp.bundle)
-                t = jnp.transpose(
-                    t[:, : self._LT].reshape(
-                        -1, tb.nang, tb.nfre - tb.nfre_red), (1, 2, 0))
+                # extract_state gathers over the LAST axis; the tail
+                # block is (nsrl, LTP) so hand it the transpose, then
+                # unpack the k-major lanes → (nang, nfre-nfre_red, n)
+                t = self._jit_extract(self._tail.T, fp.bundle)
+                t = t[: self._LT].reshape(
+                    tb.nang, tb.nfre - tb.nfre_red, -1)
                 out = jnp.concatenate([out, t], axis=1)
             self._compact_cache = out
         return self._compact_cache

@@ -132,11 +132,17 @@ def build_model(
     weights_mode: str = "cached",
     otf_block: int = 1,
     phys_chunk: int = 0,
+    cache_dir: str | None = None,
 ) -> ModelSetup:
     """Build a complete single-domain model.
 
     ``currents``: optional (u, v) surface-current fields over the sea
     points (n_real,), used when ``irefra`` ∈ {2, 3} (GETCURR equivalent).
+
+    ``cache_dir``: on-disk cache of the expensive host tables (stencil,
+    fused SRL tables, dispersion env) keyed by the build inputs — the
+    PREPROC write-once artifact (outcom.F90/readpre.F90); ~90 s at O512
+    and ~10 min at O1280 become one npz load.
     """
     if grid is None:
         if grid_name is None:
@@ -147,7 +153,6 @@ def build_model(
             grid = regular_grid(float(grid_name))
     if bathy is None:
         bathy = aqua_bathymetry(grid)
-    blk = build_sea_point_block(grid, bathy)
     nfre_red = nfre_red or nfre
 
     tb = build_spectral_tables(nang=nang, nfre=nfre, nfre_red=nfre_red)
@@ -158,29 +163,56 @@ def build_model(
                                     isnonlin=isnonlin, icode_wnd=icode_wnd,
                                     lciwa3=lciwa3, lciscal=lciscal)
 
-    n_real = blk.nsea
-    n_pad = ((n_real + pad_to - 1) // pad_to) * pad_to
+    # segment size scales with the typical row length; small grids get
+    # small segments.  Capped at 128: the Pallas kernel's double-
+    # buffered VMEM windows at S=256 exceed the 16 MB scoped vmem stack
+    # limit (measured at O512: 18.5 MB).
+    seg = 1 << max(4, min(7, int(np.log2(max(16, grid.ngx // 4)))))
 
-    st_real = prop.build_stencil(grid, blk, nfre_red,
-                                 obstructions=obstructions)
-    fused_tables = None
-    if weights_mode == "fused":
+    cached = None
+    cache_key = None
+    if cache_dir is not None:
+        from ecwam_tpu.model import tablecache
         from ecwam_tpu.ops import propagation_fused as pfz
-        # segment size scales with the typical row length; small grids
-        # get small segments.  Capped at 128: the Pallas kernel's
-        # double-buffered VMEM windows at S=256 exceed the 16 MB scoped
-        # vmem stack limit (measured at O512: 18.5 MB).
-        seg = 1 << max(4, min(7, int(np.log2(max(16, grid.ngx // 4)))))
-        fused_tables = pfz.build_fused_tables(
-            st_real, blk.kxlt, nfre_red, S=seg, land_index=n_pad)
-    st = _pad_stencil(st_real, n_real, n_pad)
+        cache_key = tablecache.build_key(
+            grid, bathy, nang=nang, nfre=nfre, nfre_red=nfre_red,
+            pad_to=pad_to, seg=seg if weights_mode == "fused" else 0,
+            obstructions=obstructions)
+        cached = tablecache.load(
+            cache_dir, cache_key, blk_cls=SeaPointBlock,
+            st_cls=prop.StencilTables, ft_cls=pfz.FusedTables)
 
-    # env: padded depth fields + halo-extended (land slot) variants
-    depth = np.empty(n_pad)
-    depth[:n_real] = blk.depth
-    depth[n_real:] = blk.depth[0]
-    depth_ext = np.concatenate([depth, [dispersion.BATHYMAX]])
-    props_ext = dispersion.depth_properties(depth_ext, tb.fr)
+    if cached is not None:
+        blk, st_real, fused_tables, props_ext = cached
+        n_real = blk.nsea
+        n_pad = ((n_real + pad_to - 1) // pad_to) * pad_to
+        depth = np.empty(n_pad)
+        depth[:n_real] = blk.depth
+        depth[n_real:] = blk.depth[0]
+        depth_ext = np.concatenate([depth, [dispersion.BATHYMAX]])
+    else:
+        blk = build_sea_point_block(grid, bathy)
+        n_real = blk.nsea
+        n_pad = ((n_real + pad_to - 1) // pad_to) * pad_to
+
+        st_real = prop.build_stencil(grid, blk, nfre_red,
+                                     obstructions=obstructions)
+        fused_tables = None
+        if weights_mode == "fused":
+            from ecwam_tpu.ops import propagation_fused as pfz
+            fused_tables = pfz.build_fused_tables(
+                st_real, blk.kxlt, nfre_red, S=seg, land_index=n_pad)
+
+        depth = np.empty(n_pad)
+        depth[:n_real] = blk.depth
+        depth[n_real:] = blk.depth[0]
+        depth_ext = np.concatenate([depth, [dispersion.BATHYMAX]])
+        props_ext = dispersion.depth_properties(depth_ext, tb.fr)
+        if cache_dir is not None:
+            from ecwam_tpu.model import tablecache
+            tablecache.save(cache_dir, cache_key, blk=blk, stencil=st_real,
+                            fused=fused_tables, props=props_ext)
+    st = _pad_stencil(st_real, n_real, n_pad)
 
     fused_env = None
     if fused_tables is not None:

@@ -572,30 +572,38 @@ def _affine_offset(raw: np.ndarray):
 
 def _dia_is_rampable(dia: DiaTables) -> bool:
     """True when every DIA gather/scatter index is a pure (clipped)
-    affine ramp — holds for the standard λ=0.25 geometry at any
-    (nang, nfre, fratio); checked so the batched kernel form can fall
-    back to the generic per-MC loop otherwise."""
+    affine ramp AND the KH=2 direction shifts are the negatives of
+    KH=1's (the quadruplet mirror) — holds for the standard λ=0.25
+    geometry at any (nang, nfre, fratio); checked so the batched kernel
+    form can fall back to the generic per-MC loop otherwise."""
     nf = dia.nfre - 1
     ramps = [_ramp_offset(a, 0, nf)
              for a in (dia.ic, dia.ip, dia.ip1, dia.im, dia.im1)]
     affs = [_affine_offset(a)
             for a in (dia.ikp, dia.ikp1, dia.ikm, dia.ikm1)]
-    return all(v is not None for v in ramps + affs)
+    if not all(v is not None for v in ramps + affs):
+        return False
+    sh = build_dia_projection(dia).shifts
+    return bool(np.all(sh[1] % dia.nang == (-sh[0]) % dia.nang))
 
 
 def _snonlin_batched(fl1, fld, sl, enh, dia: DiaTables):
-    """Frequency-batched DIA for the Pallas kernel — the per-MC loop
-    collapsed into ~200 large VPU ops (snonlin.F90:168-460 semantics).
+    """Frequency- AND KH-batched DIA for the Pallas kernel — the per-MC
+    loop collapsed into ~100 large VPU ops (snonlin.F90:168-460
+    semantics).
 
     All gather indices are clipped ramps and all scatter targets affine
     maps (see :func:`_dia_is_rampable`), so:
       * the five gathered spectra become edge-replicated frequency
-        *shifts* of the (per-KH direction-rolled) spectrum, batched over
-        the whole extended-frequency ladder: (nang, mlsthg, C) tensors;
-      * the quadruplet algebra runs once per KH on those tensors;
+        *shifts* of the direction-rolled spectrum, batched over the
+        whole extended-frequency ladder;
+      * the KH=2 configuration's direction shifts are the exact
+        negatives of KH=1's (the quadruplet mirror), so both passes
+        stack on a leading axis: (2, nang, mlsthg, C) tensors, one op
+        stream for both;
       * each of the nine scatter targets is a per-MC-weighted
         zero-padded frequency shift accumulated per direction-rotation,
-        with ONE direction roll per distinct rotation.
+        with ONE direction roll per (rotation, KH).
 
     Static slices + concats only — Mosaic-lowerable (no gather, no
     dynamic indexing).  Algebraically identical to the projection
@@ -619,12 +627,12 @@ def _snonlin_batched(fl1, fld, sl, enh, dia: DiaTables):
     r = dia.rnl.astype(np.float64)
 
     def w(i):
-        """Per-MC weight row as a pre-broadcast (1, mlsthg, npts)
+        """Per-MC weight row as a pre-broadcast (1, 1, mlsthg, npts)
         constant — a lane-aligned operand (broadcasting a lane-size-1
         operand per use costs a splat per op in Mosaic)."""
         return jnp.asarray(
-            np.broadcast_to(r[i].reshape(1, mlsthg, 1),
-                            (1, mlsthg, npts)), dt)
+            np.broadcast_to(r[i].reshape(1, 1, mlsthg, 1),
+                            (1, 1, mlsthg, npts)), dt)
 
     (ftail, gw1, gw2, gw3, gw4) = (w(i) for i in (0, 1, 2, 3, 4))
     (gw5, gw6, gw7, gw8) = (w(i) for i in (13, 14, 15, 16))
@@ -634,83 +642,94 @@ def _snonlin_batched(fl1, fld, sl, enh, dia: DiaTables):
     (fklama2, fklamb2, fklam12, fklam22) = (w(i) for i in (21, 22, 23, 24))
     af11 = jnp.asarray(
         np.broadcast_to(
-            np.asarray(dia.af11, np.float64).reshape(1, mlsthg, 1),
-            (1, mlsthg, npts)), dt)
+            np.asarray(dia.af11, np.float64).reshape(1, 1, mlsthg, 1),
+            (1, 1, mlsthg, npts)), dt)
 
     def view(x, d):
-        """x[:, clip(j+d, 0, nfre-1), :] for j in [0, mlsthg) — concat of
-        an edge-replicated head/tail around a static middle slice."""
+        """x[..., clip(j+d, 0, nfre-1), :] for j in [0, mlsthg) — concat
+        of an edge-replicated head/tail around a static middle slice."""
         lo = max(0, -d)
         hi = max(0, mlsthg + d - nfre)
-        parts = [x[:, :1, :]] * lo
-        parts.append(x[:, max(0, d):min(nfre, mlsthg + d), :])
-        parts.extend([x[:, nfre - 1:nfre, :]] * hi)
+        parts = [x[..., :1, :]] * lo
+        parts.append(x[..., max(0, d):min(nfre, mlsthg + d), :])
+        parts.extend([x[..., nfre - 1:nfre, :]] * hi)
         return parts[0] if len(parts) == 1 else jnp.concatenate(
-            parts, axis=1)
+            parts, axis=-2)
 
     def scat(wx, o):
-        """out[:, f, :] = wx[:, f-o, :] (zero where f-o out of range),
-        f in [0, nfre)."""
+        """out[..., f, :] = wx[..., f-o, :] (zero where f-o out of
+        range), f in [0, nfre)."""
         lo = max(0, o)
         hi = max(0, nfre - o - mlsthg)        # top rows with f-o >= mlsthg
-        body = wx[:, lo - o:min(nfre - o, mlsthg), :]
+        body = wx[..., lo - o:min(nfre - o, mlsthg), :]
         parts = []
         if lo:
-            parts.append(jnp.zeros((nang, lo, npts), dt))
+            parts.append(jnp.zeros(wx.shape[:-2] + (lo, npts), dt))
         parts.append(body)
         if hi:
-            parts.append(jnp.zeros((nang, hi, npts), dt))
+            parts.append(jnp.zeros(wx.shape[:-2] + (hi, npts), dt))
         return parts[0] if len(parts) == 1 else jnp.concatenate(
-            parts, axis=1)
+            parts, axis=-2)
 
-    enh_b = enh[None, :, :] if enh.ndim == 2 else enh
-    ftemp = af11 * enh_b                                # (1, mlsthg, C)
+    enh_b = enh[None, None, :, :] if enh.ndim == 2 else enh
+    ftemp = af11 * enh_b                             # (1, 1, mlsthg, C)
 
-    dsl = jnp.zeros((nang, nfre, npts), dt)
-    dfld = jnp.zeros((nang, nfre, npts), dt)
-    for kh in range(2):
-        s1, s11, s2, s21 = (int(x) for x in pr.shifts[kh])
-        R = {s: (fl1 if s == 0 else jnp.roll(fl1, -s, axis=0))
-             for s in {s1, s11, s2, s21}}
+    s1, s11, s2, s21 = (int(x) for x in pr.shifts[0])
 
-        sap = (gw1 * view(R[s1], d_ip) + gw2 * view(R[s11], d_ip)
-               + gw3 * view(R[s1], d_ip1) + gw4 * view(R[s11], d_ip1))
-        sam = (gw5 * view(R[s2], d_im) + gw6 * view(R[s21], d_im)
-               + gw7 * view(R[s2], d_im1) + gw8 * view(R[s21], d_im1))
-        fij = view(fl1, d_ic) * ftail
-        fad1 = fij * (sap + sam)
-        fad2 = fad1 - 2.0 * sap * sam
-        fad1 = fad1 + fad2
-        fcen = ftemp * fij
-        ad = fad2 * fcen
-        delad = fad1 * ftemp
-        delap = (fij - 2.0 * sam) * float(dia.dal1) * fcen
-        delam = (fij - 2.0 * sap) * float(dia.dal2) * fcen
+    def stk(s):
+        """Both KH rotations of fl1 stacked: [rot_kh1, rot_kh2] where
+        rot_kh1 = roll(-s) and the KH=2 shift is −s (mod nang)."""
+        return jnp.stack(
+            [jnp.roll(fl1, -s, axis=0), jnp.roll(fl1, s, axis=0)],
+            axis=0)
 
-        def ur(x, s):
-            return x if s == 0 else jnp.roll(x, s, axis=0)
+    R = {s: stk(s) for s in {s1, s11, s2, s21}}
+    F2 = jnp.broadcast_to(fl1[None], (2,) + fl1.shape)
 
-        # center target (shift 0)
-        dsl = dsl - 2.0 * ad[:, :nfre, :]
-        dfld = dfld - 2.0 * delad[:, :nfre, :]
-        # MM/MM1 at rotations K2/K21
-        dsl = dsl + ur(scat(fklamm1 * ad, o_mm)
-                       + scat(fklamma * ad, o_mm1), s2)
-        dsl = dsl + ur(scat(fklamm2 * ad, o_mm)
-                       + scat(fklammb * ad, o_mm1), s21)
-        dfld = dfld + ur(scat(fklam12 * delam, o_mm)
-                         + scat(fklama2 * delam, o_mm1), s2)
-        dfld = dfld + ur(scat(fklam22 * delam, o_mm)
-                         + scat(fklamb2 * delam, o_mm1), s21)
-        # MP/MP1 at rotations K1/K11
-        dsl = dsl + ur(scat(fklamp1 * ad, o_mp)
-                       + scat(fklampa * ad, o_mp1), s1)
-        dsl = dsl + ur(scat(fklamp2 * ad, o_mp)
-                       + scat(fklampb * ad, o_mp1), s11)
-        dfld = dfld + ur(scat(fklap12 * delap, o_mp)
-                         + scat(fklapa2 * delap, o_mp1), s1)
-        dfld = dfld + ur(scat(fklap22 * delap, o_mp)
-                         + scat(fklapb2 * delap, o_mp1), s11)
+    sap = (gw1 * view(R[s1], d_ip) + gw2 * view(R[s11], d_ip)
+           + gw3 * view(R[s1], d_ip1) + gw4 * view(R[s11], d_ip1))
+    sam = (gw5 * view(R[s2], d_im) + gw6 * view(R[s21], d_im)
+           + gw7 * view(R[s2], d_im1) + gw8 * view(R[s21], d_im1))
+    fij = view(F2, d_ic) * ftail
+    fad1 = fij * (sap + sam)
+    fad2 = fad1 - 2.0 * sap * sam
+    fad1 = fad1 + fad2
+    fcen = ftemp * fij
+    ad = fad2 * fcen
+    delad = fad1 * ftemp
+    delap = (fij - 2.0 * sam) * float(dia.dal1) * fcen
+    delam = (fij - 2.0 * sap) * float(dia.dal2) * fcen
+
+    def unstack_ur(x, s):
+        """Sum of the two KH halves unrotated by +s / −s respectively."""
+        a, b = x[0], x[1]
+        if s == 0:
+            return a + b
+        return jnp.roll(a, s, axis=0) + jnp.roll(b, -s, axis=0)
+
+    # center target (shift 0)
+    c_ad = ad[:, :, :nfre, :]
+    c_delad = delad[:, :, :nfre, :]
+    dsl = -2.0 * (c_ad[0] + c_ad[1])
+    dfld = -2.0 * (c_delad[0] + c_delad[1])
+    # MM/MM1 at rotations K2/K21
+    dsl = dsl + unstack_ur(scat(fklamm1 * ad, o_mm)
+                           + scat(fklamma * ad, o_mm1), s2)
+    dsl = dsl + unstack_ur(scat(fklamm2 * ad, o_mm)
+                           + scat(fklammb * ad, o_mm1), s21)
+    dfld = dfld + unstack_ur(scat(fklam12 * delam, o_mm)
+                             + scat(fklama2 * delam, o_mm1), s2)
+    dfld = dfld + unstack_ur(scat(fklam22 * delam, o_mm)
+                             + scat(fklamb2 * delam, o_mm1), s21)
+    # MP/MP1 at rotations K1/K11
+    dsl = dsl + unstack_ur(scat(fklamp1 * ad, o_mp)
+                           + scat(fklampa * ad, o_mp1), s1)
+    dsl = dsl + unstack_ur(scat(fklamp2 * ad, o_mp)
+                           + scat(fklampb * ad, o_mp1), s11)
+    dfld = dfld + unstack_ur(scat(fklap12 * delap, o_mp)
+                             + scat(fklapa2 * delap, o_mp1), s1)
+    dfld = dfld + unstack_ur(scat(fklap22 * delap, o_mp)
+                             + scat(fklapb2 * delap, o_mp1), s11)
 
     return fld + dfld, sl + dsl
 

@@ -115,20 +115,38 @@ def sinput_ard(fl1, wavnum, cinv, xk2cg,
         return (kernelmode.sidx(a, i, axis) if isinstance(i, int)
                 else jnp.take(a, i, axis=axis))
 
+    # hoisted per-frequency rows (one big op each instead of nfre small
+    # ops inside the sequential sheltering loop)
+    zcn_all = jnp.log(wavnum * z0m[None, :])         # (nfre, npts)
+    cnsn_all = (zpifr * const1)[:, None] * raorw[None, :]
+    if llsneg:
+        coef_v = -pp.SWELLF * 16.0 * zpifr**2 / c.G
+        coef5_v = -pp.SWELLF5 * 2.0 * jnp.sqrt(2.0 * nu_air * zpifr)
+        dstab1_all = coef5_v[:, None] * aird_pvisc[None, :] * wavnum
+        temp1_all = coef_v[:, None] * raorw[None, :]
+
+    def _coslp_shelter(taupx, taupy, ustpm1):
+        """cos(th − usdirp) for usdirp = atan2(taupx, taupy) — the exact
+        identity (sinθ·τx + cosθ·τy)/|τ| (|τ| = ustp²) replaces
+        atan2 + cos on the sheltering critical path; atan2(0,0)=0 maps
+        to cosθ."""
+        r2 = taupx**2 + taupy**2
+        num = (sinth[None] * taupx[:, None, :]
+               + costh[None] * taupy[:, None, :])
+        return jnp.where(r2[:, None, :] > 0.0,
+                         num * (ustpm1**2)[:, None, :],
+                         jnp.broadcast_to(costh[None], num.shape))
+
     def per_freq(stress, m):
         """One frequency step; stress = (xstress, ystress) each (ngst, npts)."""
         xstress, ystress = stress
         sig = _ix(zpifr, m)
-        sig2 = sig**2
-        const = sig * const1
-        wav_m = _ix(wavnum, m)
         cinv_m = _ix(cinv, m)
         fl1_m = _ix(fl1, m, axis=1)                  # (nang, npts)
 
         if ltauwshelter:
             taupx = taux - abs_tauwshelter * xstress
             taupy = tauy - abs_tauwshelter * ystress
-            usdirp = kernelmode.arctan2(taupx, taupy)  # (ngst, npts)
             ustp = (taupx**2 + taupy**2) ** 0.25
             constf = rogoroair * cinv_m * _ix(dfim, m)
         else:
@@ -137,21 +155,19 @@ def sinput_ard(fl1, wavnum, cinv, xk2cg,
 
         ucn = ustp * cinv_m[None, :]                 # (ngst, npts)
         ucnzalpd = pp.XKAPPA / (ucn + params.zalp)
-        zcn = jnp.log(wav_m * z0m)                   # (npts,)
-        cnsn = const * raorw
+        zcn = _ix(zcn_all, m)                        # (npts,)
+        cnsn = _ix(cnsn_all, m)
 
         if llsneg:
-            coef = -pp.SWELLF * 16.0 * sig2 / c.G
-            coef5 = -pp.SWELLF5 * 2.0 * jnp.sqrt(2.0 * nu_air * sig)
-            dstab1 = coef5 * aird_pvisc * wav_m
-            temp1 = coef * raorw
+            dstab1 = _ix(dstab1_all, m)
+            temp1 = _ix(temp1_all, m)
 
         if kernelmode.PALLAS_SAFE and ngst > 1:
             # batched gust dimension (leading axis): one set of
             # (ngst, nang, npts) ops instead of ngst small repeats —
             # fewer, larger vector ops for the Mosaic kernel
             if ltauwshelter:
-                coslp = jnp.cos(th[None] - usdirp[:, None, :])
+                coslp = _coslp_shelter(taupx, taupy, ustpm1)
             else:
                 coslp = jnp.broadcast_to(coswdif[None],
                                          (ngst, nang, npts))
@@ -200,7 +216,14 @@ def sinput_ard(fl1, wavnum, cinv, xk2cg,
         xstress_new, ystress_new = [], []
         for igst in range(ngst):
             if ltauwshelter:
-                coslp = jnp.cos(th - kernelmode.sidx(usdirp, igst)[None, :])
+                tx = kernelmode.sidx(taupx, igst)
+                ty = kernelmode.sidx(taupy, igst)
+                um1 = kernelmode.sidx(ustpm1, igst)
+                coslp = jnp.where(
+                    (tx**2 + ty**2)[None, :] > 0.0,
+                    (sinth * tx[None, :] + costh * ty[None, :])
+                    * (um1**2)[None, :],
+                    costh)
             else:
                 coslp = coswdif
             # growth rate (sinput_ard.F90:337-351)

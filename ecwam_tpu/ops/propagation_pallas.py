@@ -54,9 +54,46 @@ def _pad128(a, axis=-1):
     return np.pad(np.asarray(a), pad)
 
 
+def _rebase_taps(taps: np.ndarray, base_full: np.ndarray, S: int):
+    """Fold each block's leading all-zero tap columns into its window
+    base.  The host-aligned window bases widen the per-point tap extent
+    to EW=16, but the union extent of NONZERO taps per segment is ≤8 on
+    octahedral grids (row-length ratios ≤ 4/3) — re-basing lets the
+    kernel run half the FIR iterations (the dominant advection cost).
+
+    Returns (lo (nblocks,), extent (nblocks,)); ``base_full`` is NOT
+    modified here.
+    """
+    nb = len(base_full)
+    t3 = np.asarray(taps).reshape(nb, -1)
+    EW = taps.shape[-1]
+    any_e = (t3 != 0.0).reshape(nb, S, -1, EW).any(axis=(1, 2))
+    has = any_e.any(axis=1)
+    lo = np.where(has, np.argmax(any_e, axis=1), 0).astype(np.int64)
+    hi = np.where(has, EW - 1 - np.argmax(any_e[:, ::-1], axis=1), -1)
+    ext = np.maximum(hi - lo + 1, 0)
+    return lo, ext
+
+
+def _shift_taps(taps: np.ndarray, lo: np.ndarray, S: int, ew2: int):
+    """taps (nsrl, 3, EW) → (nsrl, 3, ew2) with block b's columns
+    shifted left by lo[b]."""
+    nsrl, nsets, EW = taps.shape
+    nb = len(lo)
+    out = np.zeros((nb, S, nsets, ew2), taps.dtype)
+    t4 = taps.reshape(nb, S, nsets, EW)
+    for d in np.unique(lo):
+        m = lo == d
+        w = min(ew2, EW - d)
+        out[m, :, :, :w] = t4[m, :, :, d:d + w]
+    return out.reshape(nsrl, nsets, ew2)
+
+
 def pack_tables(ft_dev_np: dict, lc_np: dict, cg_srl_np, cg_land_np,
                 dn_base, up_base, *, S: int, EW: int, nang: int,
-                nfre: int, nsrl: int, dtype, as_numpy: bool = False) -> dict:
+                nfre: int, nsrl: int, dtype, as_numpy: bool = False,
+                obs_ones: bool | None = None,
+                ew_force: int | None = None) -> dict:
     """Host-side (numpy) kernel table pack → single device pushes.
 
     ``ft_dev_np``: numpy dict with taps_dn/up (nsrl,3,EW), sea_own,
@@ -64,6 +101,11 @@ def pack_tables(ft_dev_np: dict, lc_np: dict, cg_srl_np, cg_land_np,
     uv (nsrl,2) and grads (nsrl,8).  ``as_numpy`` keeps the packed
     tables host-side (the sharded build stacks per-shard packs before
     one sharded device_put).
+
+    ``obs_ones``: skip the obstruction tables statically (all-open
+    water — no HBM reads, no per-strip multiplies); None = auto-detect
+    (sharded callers must pass the DOMAIN-global flag so every shard
+    packs the same shapes).
     """
     L = nang * nfre
     ptab = np.zeros((nsrl, 128))
@@ -76,18 +118,46 @@ def pack_tables(ft_dev_np: dict, lc_np: dict, cg_srl_np, cg_land_np,
     if "grads" in ft_dev_np:
         ptab[:, PT_GRADS:PT_GRADS + 8] = np.asarray(ft_dev_np["grads"])
 
-    # packed taps [dn(3·EW) | up(3·EW)]: folded into ptab's free
+    nblocks = nsrl // S
+    dnf = np.zeros(nblocks, np.int64)
+    upf = np.zeros(nblocks, np.int64)
+    nb = min(nblocks, len(dn_base) + 1)
+    dnf[1:nb] = np.asarray(dn_base)[:nb - 1]
+    upf[1:nb] = np.asarray(up_base)[:nb - 1]
+
+    # fold leading zero tap columns into the (now unaligned) window
+    # bases; the kernel re-aligns the DMA base down to a multiple of 8
+    # and carries the remainder into the FIR slice offsets
+    taps_dn = np.asarray(ft_dev_np["taps_dn"])
+    taps_up = np.asarray(ft_dev_np["taps_up"])
+    lo_dn, ext_dn = _rebase_taps(taps_dn, dnf, S)
+    lo_up, ext_up = _rebase_taps(taps_up, upf, S)
+    ew2 = int(max(ext_dn.max(), ext_up.max(), 1))
+    if ew_force is not None:
+        # sharded packs need one width across all shards (stacked packs)
+        assert ew_force >= ew2, (ew_force, ew2)
+        ew2 = ew_force
+    taps_dn = _shift_taps(taps_dn, lo_dn, S, ew2)
+    taps_up = _shift_taps(taps_up, lo_up, S, ew2)
+    dnf = dnf + lo_dn
+    upf = upf + lo_up
+
+    # packed taps [dn(3·ew2) | up(3·ew2)]: folded into ptab's free
     # columns when they fit (one fewer 128-lane table resident), else a
     # separate 128-padded table
     taps_raw = np.concatenate(
-        [np.asarray(ft_dev_np["taps_dn"]).reshape(nsrl, -1),
-         np.asarray(ft_dev_np["taps_up"]).reshape(nsrl, -1)], axis=1)
+        [taps_dn.reshape(nsrl, -1), taps_up.reshape(nsrl, -1)], axis=1)
     if PT_TAPS + taps_raw.shape[1] <= 128:
         ptab[:, PT_TAPS:PT_TAPS + taps_raw.shape[1]] = taps_raw
         taps = np.zeros((8, 128))                    # token, never read
     else:
         taps = _pad128(taps_raw)
-    obs = _pad128(np.asarray(ft_dev_np["obs"]).reshape(nsrl, -1))
+    if obs_ones is None:
+        obs_ones = bool(np.all(np.asarray(ft_dev_np["obs"]) == 1.0))
+    if obs_ones:
+        obs = np.zeros((8, 128))                     # token, never read
+    else:
+        obs = _pad128(np.asarray(ft_dev_np["obs"]).reshape(nsrl, -1))
     if "pf" in ft_dev_np and ft_dev_np["pf"] is not None:
         pf = _pad128(np.asarray(ft_dev_np["pf"]).reshape(nsrl, -1))
     else:
@@ -101,19 +171,14 @@ def pack_tables(ft_dev_np: dict, lc_np: dict, cg_srl_np, cg_land_np,
         np.pad(np.asarray(lc_np[k]).reshape(L), (0, (-L) % 128))
         for k in LC_ROWS])
 
-    nblocks = nsrl // S
-    dnf = np.zeros(nblocks, np.int32)
-    upf = np.zeros(nblocks, np.int32)
-    nb = min(nblocks, len(dn_base) + 1)
-    dnf[1:nb] = np.asarray(dn_base)[:nb - 1]
-    upf[1:nb] = np.asarray(up_base)[:nb - 1]
-
     npdt = np.dtype(str(jnp.dtype(dtype)))
     out = dict(
         ptab=ptab.astype(npdt), taps=taps.astype(npdt),
         obs=obs.astype(npdt), pf=pf.astype(npdt), cg=cg.astype(npdt),
         cgland=cgland.astype(npdt), lc=lc.astype(npdt),
         dn_full=dnf.astype(np.int32), up_full=upf.astype(np.int32),
+        # static tap width marker (shape-encoded: survives jit pytrees)
+        ewtok=np.zeros((ew2, 1), np.int8),
         fratio=float(lc_np["fratio"]))
     if as_numpy:
         return out
@@ -127,23 +192,30 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
             out_ref,
             wf_dn, wf_up, wf_ow, wc_dn, wc_up, wc_ow, sems,
             *, S, EW, TS, nang, nfre, irefra, fratio, cmtodeg,
-            taps_merged):
+            taps_merged, obs_ones):
     L = nang * nfre
     LP = f_hbm.shape[1]
-    EWG = ((EW + 2 + 7) // 8) * 8
+    EWG = ((EW + 8 + 7) // 8) * 8      # rem (≤7) + EW taps + margin
     nsrl = f_hbm.shape[0]
     pid = pl.program_id(0)
     nprog = pl.num_programs(0)
+
+    def base_rem(ref, bid):
+        """Window base aligned down to a multiple of 8 (DMA sublane
+        alignment) + the remainder carried into the FIR slice offsets
+        (the pack re-bases taps per segment so the nonzero extent fits
+        EW columns; bases are no longer host-aligned)."""
+        b = jnp.minimum(ref[bid], nsrl - S - EWG)
+        al = pl.multiple_of((b // 8) * 8, 8)
+        return al, b - al
 
     def window_copies(bid, slot):
         """The 6 async window copies for block ``bid`` into buffer
         ``slot`` (double buffering: block i+1's DMAs overlap block i's
         compute — the synchronous form left the MXU-free VPU loop
         stalled on HBM latency every block)."""
-        dnb = pl.multiple_of(
-            jnp.minimum(dn_ref[bid], nsrl - S - EWG), 8)
-        upb = pl.multiple_of(
-            jnp.minimum(up_ref[bid], nsrl - S - EWG), 8)
+        dnb, _ = base_rem(dn_ref, bid)
+        upb, _ = base_rem(up_ref, bid)
         ownb = pl.multiple_of(
             jnp.minimum(jnp.maximum(bid * S - 8, 0), nsrl - S - 24), 8)
         return [
@@ -187,6 +259,8 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
     wc_dn = wc_dn.at[slot]
     wc_up = wc_up.at[slot]
     wc_ow = wc_ow.at[slot]
+    _, rem_dn = base_rem(dn_ref, pid)
+    _, rem_up = base_rem(up_ref, pid)
 
     lc = {k: lc_ref[i:i + 1, :] for i, k in enumerate(LC_ROWS)}
     cg_land_lane = cgland_ref[0:1, :]
@@ -215,16 +289,22 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
     def strip(si, _):
         r0 = pl.multiple_of(si * TS, TS)
 
-        wdn = wf_dn[pl.ds(r0, TS + EWG), :]
-        wup = wf_up[pl.ds(r0, TS + EWG), :]
+        # static (8-aligned) strip loads, then ONE dynamic sublane
+        # rotate per window folds in the unaligned base remainder —
+        # Mosaic vector loads cannot take a dynamic sublane start.
+        # Shift is size−rem, NOT −rem: compiled tpu.dynamic_rotate
+        # silently mis-rotates negative dynamic amounts (measured on
+        # chip; interpret mode accepts them)
+        W = TS + EWG
+        wdn = pltpu.roll(wf_dn[pl.ds(r0, W), :], W - rem_dn, axis=0)
+        wup = pltpu.roll(wf_up[pl.ds(r0, W), :], W - rem_up, axis=0)
+        cdn = pltpu.roll(wc_dn[pl.ds(r0, W), :], W - rem_dn, axis=0)
+        cup = pltpu.roll(wc_up[pl.ds(r0, W), :], W - rem_up, axis=0)
         wow = wf_ow[pl.ds(r0, TS + 16), :]
-        cdn = wc_dn[pl.ds(r0, TS + EWG), :]
-        cup = wc_up[pl.ds(r0, TS + EWG), :]
         cow = wc_ow[pl.ds(r0, TS + 16), :]
 
         f_own = wow[8:TS + 8, :]
         pt = ptab_ref[pl.ds(r0, TS), :]
-        obs = obs_ref[pl.ds(r0, TS), :]
         if taps_merged:
             taps, tap0 = pt, PT_TAPS
         else:
@@ -233,20 +313,21 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
         def col(i):
             return pt[:, i:i + 1]
 
-        def fir(win, field):
-            acc = None
+        def fir3(win, fields):
+            """FIR over the rotated window for several tap sets at once
+            — one window slice per tap index shared by all sets (the
+            slice realignment dominates the FMA)."""
+            accs = [None] * len(fields)
             for e in range(EW):
-                tap = taps[:, tap0 + field * EW + e].reshape(TS, 1)
                 v = win[e:e + TS, :]
-                acc = tap * v if acc is None else acc + tap * v
-            return acc
+                for j, fld in enumerate(fields):
+                    tap = taps[:, tap0 + fld * EW + e].reshape(TS, 1)
+                    accs[j] = (tap * v if accs[j] is None
+                               else accs[j] + tap * v)
+            return accs
 
-        v_latS = fir(wdn, 0)
-        v_corSE = fir(wdn, 1)
-        v_corSW = fir(wdn, 2)
-        v_latN = fir(wup, 3)
-        v_corNE = fir(wup, 4)
-        v_corNW = fir(wup, 5)
+        v_latS, v_corSE, v_corSW = fir3(wdn, (0, 1, 2))
+        v_latN, v_corNE, v_corNW = fir3(wup, (3, 4, 5))
         sea_w = col(PT_SEA_W)
         sea_e = col(PT_SEA_E)
         v_W = sea_w * wow[7:TS + 7, :]
@@ -255,8 +336,8 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
         cg_o = cow[8:TS + 8, :]
         cg_W = sea_w * cow[7:TS + 7, :] + (1.0 - sea_w) * cg_land_lane
         cg_E = sea_e * cow[9:TS + 9, :] + (1.0 - sea_e) * cg_land_lane
-        cg_S = fir(cdn, 0) + col(PT_CGL_DN) * cg_land_lane
-        cg_N = fir(cup, 3) + col(PT_CGL_UP) * cg_land_lane
+        cg_S = fir3(cdn, (0,))[0] + col(PT_CGL_DN) * cg_land_lane
+        cg_N = fir3(cup, (3,))[0] + col(PT_CGL_UP) * cg_land_lane
 
         z = col(PT_GEOM + 0)
         ci = col(PT_GEOM + 1)
@@ -387,8 +468,14 @@ def _kernel(dn_ref, up_ref,                        # scalar prefetch
             wm_terms = ((dthm_f + jnp.abs(dthm_f)) * fratio,
                         (-dthp_f + jnp.abs(dthp_f)) / fratio)
 
-        def ob(slot):
-            return expand(obs[:, slot * nfre:(slot + 1) * nfre])
+        if obs_ones:
+            def ob(slot):
+                return 1.0            # open water: fold the multiply away
+        else:
+            obs = obs_ref[pl.ds(r0, TS), :]
+
+            def ob(slot):
+                return expand(obs[:, slot * nfre:(slot + 1) * nfre])
 
         out = (1.0 - sumwn) * f_own
         out = out + (w_latS * ob(0) * v_latS + w_latN * ob(1) * v_latN)
@@ -427,15 +514,22 @@ def advect_pallas(f_srl_p, tabs, *, nang, nfre, irefra, S, EW, fratio,
     # strip size: bigger strips = fewer, larger VPU ops per block
     # (ECWAVE_ADV_TS knob for tuning; 32 measured best at O512 r3)
     TS = min(int(os.environ.get("ECWAVE_ADV_TS", "32")), S)
-    EWG = ((EW + 2 + 7) // 8) * 8
+    # static re-based tap width (shape-encoded so it survives jit
+    # pytrees); EW kept as the fallback for pre-rebase table packs
+    EW2 = tabs["ewtok"].shape[0] if "ewtok" in tabs else EW
+    EWG = ((EW2 + 8 + 7) // 8) * 8
     dt = f_srl_p.dtype
     NFP = tabs["cg"].shape[1]
 
     def row_spec(cols):
         return pl.BlockSpec((S, cols), lambda i, *_: (i, 0))
 
+    def token_spec():
+        return pl.BlockSpec((8, 128), lambda i, *_: (0, 0))
+
     pf_full = tabs["pf"].shape[0] == nsrl
     taps_merged = tabs["taps"].shape[0] != nsrl
+    obs_ones = tabs["obs"].shape[0] != nsrl
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nblocks,),
@@ -443,11 +537,12 @@ def advect_pallas(f_srl_p, tabs, *, nang, nfre, irefra, S, EW, fratio,
             pl.BlockSpec(memory_space=pl.ANY),        # f_srl
             pl.BlockSpec(memory_space=pl.ANY),        # cg_srl
             (row_spec(tabs["taps"].shape[1]) if not taps_merged
-             else pl.BlockSpec((8, 128), lambda i, *_: (0, 0))),
+             else token_spec()),
             row_spec(128),                             # ptab
-            row_spec(tabs["obs"].shape[1]),
+            (row_spec(tabs["obs"].shape[1]) if not obs_ones
+             else token_spec()),
             (row_spec(tabs["pf"].shape[1]) if pf_full
-             else pl.BlockSpec((8, 128), lambda i, *_: (0, 0))),
+             else token_spec()),
             pl.BlockSpec((len(LC_ROWS), LP), lambda i, *_: (0, 0)),
             pl.BlockSpec((8, NFP), lambda i, *_: (0, 0)),
         ],
@@ -463,8 +558,9 @@ def advect_pallas(f_srl_p, tabs, *, nang, nfre, irefra, S, EW, fratio,
         ],
     )
     kern = functools.partial(
-        _kernel, S=S, EW=EW, TS=TS, nang=nang, nfre=nfre, irefra=irefra,
-        fratio=fratio, cmtodeg=360.0 / c.CIRC, taps_merged=taps_merged)
+        _kernel, S=S, EW=EW2, TS=TS, nang=nang, nfre=nfre, irefra=irefra,
+        fratio=fratio, cmtodeg=360.0 / c.CIRC, taps_merged=taps_merged,
+        obs_ones=obs_ones)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,

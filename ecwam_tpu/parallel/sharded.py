@@ -464,6 +464,17 @@ def _build_fused_sharded(setup: ModelSetup, mesh: Mesh, *,
         packs, packs_lo = [], []
         dn_body2 = np.asarray(dn_body)
         up_body2 = np.asarray(up_body)
+        # stacked packs need ONE static tap width + obs shape across
+        # shards: compute the domain-global re-based extent and the
+        # global open-water flag up front
+        nb_all = fst.taps_dn.shape[0] // fst.S
+        zeros_b = np.zeros(nb_all, np.int64)
+        ew_g = int(max(
+            pk._rebase_taps(fst.taps_dn[:nb_all * fst.S], zeros_b,
+                            fst.S)[1].max(),
+            pk._rebase_taps(fst.taps_up[:nb_all * fst.S], zeros_b,
+                            fst.S)[1].max(), 1))
+        obs_ones_g = bool(np.all(np.asarray(fst.obs) == 1.0))
         for i in range(n_shards):
             sl = slice(i * nsrl_loc, (i + 1) * nsrl_loc)
             src_np = dict(
@@ -481,7 +492,7 @@ def _build_fused_sharded(setup: ModelSetup, mesh: Mesh, *,
                 src_np, lc_np, fst.cg_srl[sl], fst.cg_land,
                 dn_body2[i], up_body2[i], S=fst.S, EW=fst.EW,
                 nang=nang, nfre=nfre_red, nsrl=nsrl_loc, dtype=dt,
-                as_numpy=True)
+                as_numpy=True, obs_ones=obs_ones_g, ew_force=ew_g)
             t.pop("fratio")
             packs.append(t)
             if nsub > 1:
@@ -492,7 +503,8 @@ def _build_fused_sharded(setup: ModelSetup, mesh: Mesh, *,
                     src_lo, lc_lo_np, fst.cg_srl[sl][:, :mw],
                     fst.cg_land[:mw], dn_body2[i], up_body2[i],
                     S=fst.S, EW=fst.EW, nang=nang, nfre=mw,
-                    nsrl=nsrl_loc, dtype=dt, as_numpy=True)
+                    nsrl=nsrl_loc, dtype=dt, as_numpy=True,
+                    obs_ones=obs_ones_g, ew_force=ew_g)
                 tl.pop("fratio")
                 packs_lo.append(tl)
 

@@ -29,15 +29,16 @@ NSTEPS = 5
 RTOL = 1e-9
 
 
-def _grid_with_topo():
+def _grid_with_topo(nfre_red=NFRE):
     topo = bathy_mod.synthetic_topo(invres=2, features=[
         dict(kind="land", lon=(40.0, 44.0), lat=(0.0, 12.0), elev=300.0),
         dict(kind="shoal", lon=(80.0, 92.0), lat=(-12.0, 0.0),
              elev=-15.0)])
     wg = grid_mod.regular_grid(12.0, name="t12")
     from ecwam_tpu.core.spectral import build_spectral_tables
-    tb = build_spectral_tables(nang=NANG, nfre=NFRE)
-    b, obs = bathy_mod.make_bathymetry(topo, wg, tb.fr, nfre_red=NFRE)
+    tb = build_spectral_tables(nang=NANG, nfre=NFRE, nfre_red=nfre_red)
+    b, obs = bathy_mod.make_bathymetry(topo, wg, tb.fr,
+                                       nfre_red=nfre_red)
     blk = grid_mod.build_sea_point_block(wg, b)
     obstr = bathy_mod.obstructions_to_block(obs, blk)
     return wg, b, obstr, blk
@@ -180,20 +181,29 @@ def _oracle_traj(ms, fl1_0, stress0, forcing_at):
     return want, want_stress
 
 
-@pytest.mark.parametrize("config", ["fastwaves_refra1", "currents3"])
+@pytest.mark.parametrize(
+    "config", ["fastwaves_refra1", "currents3", "split_fastwaves"])
 def test_wamintgr_trajectory_fast_path(config):
     """The SRL-resident fast path (Pallas advection + fused Pallas
     physics kernel, driver.FastWaveModel — the bench/production
     architecture) against the same f64 WAMINTGR oracle at f32
-    tolerance (VERDICT r3 next-round #5)."""
-    wg, b, obstr, blk = _grid_with_topo()
+    tolerance (VERDICT r3 next-round #5).
+
+    ``split_fastwaves`` runs the operational NFRE > NFRE_RED split
+    (ecwam_run_model.sh:213-214: physics on the full ladder, advection
+    on the reduced one, diagnostic tail in the off-SRL block) against
+    the same oracle — the r4 gap where the split was only ever pinned
+    kernel-vs-kernel (VERDICT r4 weak #6)."""
+    nfre_red = NFRE - 2 if config == "split_fastwaves" else NFRE
+    wg, b, obstr, blk = _grid_with_topo(nfre_red)
     n_real = blk.nsea
     forcing_at = _forcing(n_real)
 
     kw = dict(grid=wg, bathy=b, nang=NANG, nfre=NFRE, pad_to=8,
+              nfre_red=nfre_red,
               dtype=jnp.float32, obstructions=obstr, iphys=1,
               weights_mode="fused")
-    if config == "fastwaves_refra1":
+    if config in ("fastwaves_refra1", "split_fastwaves"):
         kw.update(idelpro=900.0, idelt=1800.0, delpro_lf=450.0,
                   ifrelfmax=3, irefra=1)
     else:
