@@ -52,7 +52,11 @@ def sync(jax, jnp, x):
     """
     global _PROBE
     if _PROBE is None:
-        _PROBE = jax.jit(lambda a: a.reshape(-1)[0])
+        # slice FIRST, then flatten: a jitted reshape(-1) of a 5 GB
+        # array materializes a full flattened copy on device (measured:
+        # the O512 first-step OOM), a [0:1,...] slice does not
+        _PROBE = jax.jit(
+            lambda a: a[(slice(0, 1),) * a.ndim].reshape(-1)[0])
     jax.block_until_ready(x)
     leaf = jax.tree.leaves(x)[0]
     return float(jax.device_get(_PROBE(leaf)))
@@ -209,7 +213,7 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
     ms = setup_mod.build_model(
         grid_name=grid_name, nang=nang, nfre=nfre, nfre_red=nfre_red,
         idelpro=idelpro, idelt=idelt, pad_to=8192, dtype=jnp.float32,
-        weights_mode="fused",
+        weights_mode="fused", env_on_device=False,
         cache_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".table_cache"))
     ft = ms.fused
@@ -258,7 +262,12 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
         f"({f_srl.nbytes/1e9:.1f} GB)")
 
     # donate: without aliasing, wrap-refresh + kernel output hold THREE
-    # SRL copies live (16.7 GB at O512 — the round-3 OOM)
+    # SRL copies live (16.7 GB at O512 — the round-3 OOM).  Each step
+    # also returns a [0,0] scalar "tick" computed INSIDE the donating
+    # executable: at O512 residency, handing the 5 GB state to a
+    # separate non-donating sync jit OOMs on the relay (measured — the
+    # extra executable costs a full state-sized allocation), while a
+    # scalar output is free
     @functools.partial(jax.jit, donate_argnums=(0,))
     def adv_srl(f_srl, bundle):
         return fp.advect_srl(f_srl, bundle)
@@ -293,11 +302,19 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
         except Exception:  # noqa: BLE001
             return float("nan")
 
+    # barrier note: at O512 residency, ANY extra executable touching the
+    # 5 GB state (a sync-probe jit, or even a [0,0] tick output added to
+    # the donating step) OOMs on the relay — measured repeatedly this
+    # round; plain block_until_ready works and is a true barrier (its
+    # timings match the probe-style sync at O160 where both run)
+    def barrier(x):
+        jax.block_until_ready(x)
+
     bundle = fp.bundle
     log("compiling advection")
     t0 = time.time()
     f_srl = adv_srl(f_srl, bundle)
-    sync(jax, jnp, f_srl)
+    barrier(f_srl)
     log(f"advection compile+first {time.time()-t0:.0f}s")
     log("compiling physics")
     t0 = time.time()
@@ -308,7 +325,7 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
         return phys_srl(f_srl, stress6, frc6, denv, env2d)
 
     f_srl, tail, stress6 = phys_call(f_srl, tail, stress6)
-    sync(jax, jnp, f_srl)
+    barrier(f_srl)
     log(f"physics compile+first {time.time()-t0:.0f}s")
 
     if profile_dir:
@@ -321,13 +338,13 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
         f_srl = adv_srl(f_srl, bundle)
         f_srl, tail, stress6 = phys_call(f_srl, tail, stress6)
         f_srl = adv_srl(f_srl, bundle)
-    sync(jax, jnp, f_srl)
+    barrier(f_srl)
     dt_pair = (time.perf_counter() - t0) / steps
 
     t0 = time.perf_counter()
     for _ in range(steps):
         f_srl = adv_srl(f_srl, bundle)
-    sync(jax, jnp, f_srl)
+    barrier(f_srl)
     t_adv = (time.perf_counter() - t0) / steps
     t_phys = max(dt_pair - 2.0 * t_adv, 0.0)
 
@@ -340,13 +357,10 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
     except Exception:  # noqa: BLE001
         peak_bytes = None
 
-    def compiled_mem(jfn, *args):
+    def compiled_mem(jfn, *absargs):
         """Compiled memory analysis (argument+output+temp+peak) — works
         through the relay where device memory_stats does not."""
         try:
-            absargs = jax.tree.map(
-                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
-                if hasattr(a, "shape") else a, args)
             ma = jfn.lower(*absargs).compile().memory_analysis()
             return dict(
                 args=float(getattr(ma, "argument_size_in_bytes", 0)),
@@ -356,14 +370,29 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
         except Exception:  # noqa: BLE001
             return None
 
-    mem_adv = compiled_mem(adv_srl, f_srl, bundle)
-    mem_phys = (compiled_mem(phys_srl, f_srl, tail, stress6, frc6,
-                             denv, env2d) if LT else
-                compiled_mem(phys_srl, f_srl, stress6, frc6, denv,
-                             env2d))
+    def abstract(*args):
+        return jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+            if hasattr(a, "shape") else a, args)
+
+    abs_adv = abstract(f_srl, bundle)
+    abs_phys = (abstract(f_srl, tail, stress6, frc6, denv, env2d)
+                if LT else abstract(f_srl, stress6, frc6, denv, env2d))
+    mem_adv = compiled_mem(adv_srl, *abs_adv)
+    mem_phys = compiled_mem(phys_srl, *abs_phys)
+    xla_adv = xla_bytes(adv_srl, *abs_adv)
 
     bins = ms.n_real * nang * nfre
     value = bins / (dt_pair / 2.0)
+    # RELEASE the model state AND the step executables before the probe
+    # allocations: at O512 the resident state + the executables'
+    # retained arenas + a 2 GB triad exceed HBM (measured OOM in
+    # measure_stream_bw)
+    del f_srl, tail, stress6, frc6, denv, env2d, abs_adv, abs_phys
+    del adv_srl, phys_srl
+    import gc
+    gc.collect()
+    jax.clear_caches()
     bw = measure_stream_bw(jax, jnp)
     vpu = measure_vpu_flops(jax, jnp)
     trate = measure_trans_rate(jax, jnp)
@@ -455,7 +484,7 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
         "model_arith_per_phys_step": phys_arith,
         "model_trans_per_phys_step": phys_trans,
         "model_step_pair_seconds": t_model,
-        "xla_bytes_per_adv_step": xla_bytes(adv_srl, f_srl, bundle),
+        "xla_bytes_per_adv_step": xla_adv,
         "bytes_per_bin_adv": adv_bytes / bins,
         "device_peak_bytes": peak_bytes,
         "mem_analysis_adv": mem_adv,

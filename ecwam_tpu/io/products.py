@@ -398,6 +398,11 @@ class ProductContext:
     @functools.cached_property
     def sep(self):
         st, frc = self.state, self.frc
+        if "sep" in st:
+            # precomputed per-point windsea/swell rows from the chunked
+            # full-mode physics step (fusedstep.phys_srl_full_chunked —
+            # the at-scale path that never materializes global xllws)
+            return dict(st["sep"])
         xllws = st.get("xllws")
         if xllws is None:
             xllws = jnp.zeros_like(self.fl1)
@@ -419,6 +424,19 @@ class ProductContext:
         from ecwam_tpu.io import partition
         st = self.state
         sep = {k: np.asarray(v) for k, v in self.sep.items()}
+        if "swm" not in sep:
+            # the chunked full-mode state keeps only per-point rows; the
+            # partitioning needs the per-bin swell mask — recompute it
+            # from xllws (small grids), or it is a documented de-scope
+            # at operational scale (the field would not fit HBM)
+            if "xllws" not in st:
+                raise NotImplementedError(
+                    "swell-train products need the per-bin swell mask; "
+                    "not available from the chunked full-mode step")
+            full = sepwisw(self.fl1, st["xllws"], self.env["cinv"],
+                           st["ufric"], self.frc["wswave"],
+                           self.frc["wdwave"], self.tb)
+            sep = {k: np.asarray(v) for k, v in full.items()}
         mij = np.asarray(st["mij"]).astype(np.int32)
         return partition.sep3tr(
             np.asarray(self.fl1), mij, sep,
@@ -614,6 +632,11 @@ def compute(names, fl1, tb, state, frc, params, env=None, *,
         out.update(res)
     if tnames:
         from ecwam_tpu.io import partition
+        if "swm" not in inter["sep"]:
+            raise NotImplementedError(
+                "swell-train products need the per-bin swell mask; not "
+                "available from the chunked full-mode step (use the XLA "
+                "driver for train output at small scale)")
         sep = {k: np.asarray(v) for k, v in inter["sep"].items()}
         trains = partition.sep3tr(
             np.asarray(fl1), np.asarray(state["mij"]).astype(np.int32),

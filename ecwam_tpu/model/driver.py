@@ -250,8 +250,15 @@ class FastWaveModel(WaveModel):
 
         def _phys(f, t, s6, f6, full):
             t_in = t if self._LT else None
-            res = fp.phys_srl_pallas(f, s6, f6, self._denv,
-                                     self._env2d, t_in, full=full)
+            if full:
+                # chunked full mode: per-point diagnostics + windsea
+                # separation without ever materializing the global
+                # xllws field (the O512/O1280 output-date HBM fit)
+                res = fp.phys_srl_full_chunked(f, s6, f6, self._denv,
+                                               self._env2d, t_in)
+            else:
+                res = fp.phys_srl_pallas(f, s6, f6, self._denv,
+                                         self._env2d, t_in, full=False)
             f, s6 = res[0], res[1]
             t = res[2] if self._LT else t
             state = res[-1] if full else None
@@ -359,10 +366,8 @@ class FastWaveModel(WaveModel):
                 self._phys_elapsed = 0.0
                 if state is not None:
                     fp = self.fp
-                    out = {}
-                    for k, v in state.items():
-                        out[k] = self._jit_extract(v, fp.bundle)
-                    self.state = out
+                    self.state = jax.tree.map(
+                        lambda v: self._jit_extract(v, fp.bundle), state)
                 jax.block_until_ready(self._f_srl)
                 self.timers.phys += time.perf_counter() - t0
             self.timers.steps += 1

@@ -133,6 +133,7 @@ def build_model(
     otf_block: int = 1,
     phys_chunk: int = 0,
     cache_dir: str | None = None,
+    env_on_device: bool = True,
 ) -> ModelSetup:
     """Build a complete single-domain model.
 
@@ -231,15 +232,19 @@ def build_model(
             pf = np.stack([omos, cg * wav, omos * wav], axis=1)
             fused_env["pf"] = pf[src][:, :, :nfre_red]
 
-    env = {k: jnp.asarray(v.T[:, :n_pad], dtype)
-           for k, v in props_ext.items()}
-    env.update({f"{k}_ext": jnp.asarray(v.T, dtype)
-                for k, v in props_ext.items()})
-    env["depth"] = jnp.asarray(depth, dtype)
-    env["depth_ext"] = jnp.asarray(depth_ext, dtype)
-    env["emaxdpt"] = jnp.asarray(dispersion.depth_limited_energy(depth), dtype)
-    env["emaxdpt_ext"] = jnp.asarray(
-        dispersion.depth_limited_energy(depth_ext), dtype)
+    # env_on_device=False keeps these as host numpy: the fused/SRL fast
+    # path only reads them once (build_phys_srl's jitted gather pushes
+    # them transiently) — at O512 the resident copies are ~1.9 GB of
+    # the HBM budget the 2-spectrum advection peak needs
+    npdt = np.dtype(str(jnp.dtype(dtype)))
+    conv = ((lambda a: jnp.asarray(a, dtype)) if env_on_device
+            else (lambda a: np.asarray(a, npdt)))
+    env = {k: conv(v.T[:, :n_pad]) for k, v in props_ext.items()}
+    env.update({f"{k}_ext": conv(v.T) for k, v in props_ext.items()})
+    env["depth"] = conv(depth)
+    env["depth_ext"] = conv(depth_ext)
+    env["emaxdpt"] = conv(dispersion.depth_limited_energy(depth))
+    env["emaxdpt_ext"] = conv(dispersion.depth_limited_energy(depth_ext))
 
     # surface currents (zero = no current; land slot zero)
     if irefra in (2, 3) and ifrelfmax and weights_mode == "otf":
@@ -253,8 +258,8 @@ def build_model(
     vc = np.zeros(n_pad + 1)
     if currents is not None:
         uc[:n_real], vc[:n_real] = currents[0], currents[1]
-    env["ucur_ext"] = jnp.asarray(uc, dtype)
-    env["vcur_ext"] = jnp.asarray(vc, dtype)
+    env["ucur_ext"] = conv(uc)
+    env["vcur_ext"] = conv(vc)
     env["ucur"] = env["ucur_ext"][:n_pad]
     env["vcur"] = env["vcur_ext"][:n_pad]
 
