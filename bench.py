@@ -50,16 +50,19 @@ def sync(jax, jnp, x):
     (~190 s for a 600 MB array, ~30 min at O512 sizes — the round-3
     "hang"); the jitted slice compiles once per shape and returns 4 B.
     """
-    global _PROBE
-    if _PROBE is None:
-        # slice FIRST, then flatten: a jitted reshape(-1) of a 5 GB
-        # array materializes a full flattened copy on device (measured:
-        # the O512 first-step OOM), a [0:1,...] slice does not
-        _PROBE = jax.jit(
-            lambda a: a[(slice(0, 1),) * a.ndim].reshape(-1)[0])
     jax.block_until_ready(x)
     leaf = jax.tree.leaves(x)[0]
-    return float(jax.device_get(_PROBE(leaf)))
+    return float(jax.device_get(sync_probe(jax)(leaf)))
+
+
+def sync_probe(jax):
+    """The jitted completion probe (slice first — a jitted reshape(-1)
+    of a 5 GB array materializes a full flattened copy on device)."""
+    global _PROBE
+    if _PROBE is None:
+        _PROBE = jax.jit(
+            lambda a: a[(slice(0, 1),) * a.ndim].reshape(-1)[0])
+    return _PROBE
 
 
 def measure_stream_bw(jax, jnp, nbytes=2 << 30):
@@ -195,6 +198,33 @@ def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+_RATES = None
+
+
+def get_rates(jax, jnp):
+    """Measured stream/VPU/transcendental rates — taken in a SEPARATE
+    SUBPROCESS: buffers freed through the relay are not released back
+    to later allocations within a process (measured: the probes OOM
+    after an O512 model was resident, and a model OOMs after the
+    probes ran), but a subprocess exit tears the session down fully."""
+    global _RATES
+    if _RATES is None:
+        import subprocess
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--rates"],
+                capture_output=True, text=True, timeout=900,
+                check=True)
+            _RATES = tuple(json.loads(out.stdout.strip().split("\n")[-1]))
+            time.sleep(5.0)          # let the relay session tear down
+        except Exception as e:  # noqa: BLE001
+            log(f"subprocess rates failed ({e!r}); measuring in-process")
+            _RATES = (measure_stream_bw(jax, jnp),
+                      measure_vpu_flops(jax, jnp),
+                      measure_trans_rate(jax, jnp))
+    return _RATES
+
+
 def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
               nfre_red=29, idelpro=450.0, idelt=900.0):
     import jax
@@ -248,26 +278,23 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
     env2d.block_until_ready()
     log(f"phys SRL inputs in {time.time()-t0:.0f}s")
 
-    # initial state built ON DEVICE directly in the SRL layout (MSTART
-    # is closed-form per bin): the former host build + 5.2 GB relay push
-    # cost ~11 min at O512; one jitted kernel replaces both
-    t0 = time.time()
     L = nang * nfre_red
+    LPb = fp.LP if fp.backend == "pallas" else fp.L
     LT = nang * (nfre - nfre_red)
     LTP = -(-LT // 128) * 128 if LT else 0
-    f_srl, tail = fp.initial_srl(wswave.astype(np.float32),
-                                 wdwave.astype(np.float32))
-    f_srl.block_until_ready()
-    log(f"initial SRL state on device in {time.time()-t0:.0f}s "
-        f"({f_srl.nbytes/1e9:.1f} GB)")
+    bundle = fp.bundle
 
-    # donate: without aliasing, wrap-refresh + kernel output hold THREE
-    # SRL copies live (16.7 GB at O512 — the round-3 OOM).  Each step
-    # also returns a [0,0] scalar "tick" computed INSIDE the donating
-    # executable: at O512 residency, handing the 5 GB state to a
-    # separate non-donating sync jit OOMs on the relay (measured — the
-    # extra executable costs a full state-sized allocation), while a
-    # scalar output is free
+    # RELAY RULES (measured, round 5):
+    #  (a) block_until_ready is NOT a completion barrier through the
+    #      relay — only device_get of a computed scalar is;
+    #  (b) handing the 5 GB state to a separate non-donating executable
+    #      (a sync-probe jit) costs a state-sized staging allocation;
+    #  (c) fresh compiles dispatched while the big state is resident
+    #      OOM.
+    # So each step returns a [0,0] "tick" scalar computed INSIDE the
+    # donating executable (no extra executable, no staging), and both
+    # steps are AOT-compiled BEFORE the initial state is materialized;
+    # the compiled objects are then called directly.
     @functools.partial(jax.jit, donate_argnums=(0,))
     def adv_srl(f_srl, bundle):
         return fp.advect_srl(f_srl, bundle)
@@ -287,14 +314,29 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
                                          env2d)
             return out, None, s6
 
-    def xla_bytes(jfn, *args):
+    # the completion barrier: a SMALL-argument drain executable.  The
+    # device runs enqueued programs in order, so a scalar computed from
+    # the (small, always-resident) stress rows and device_get AFTER the
+    # queued steps is a true barrier; a probe on the 5 GB state itself
+    # costs a state-sized staging allocation (measured OOM)
+    drain = jax.jit(lambda s6: s6[0, 0] * 0.0 + s6[1, 1])
+
+    def abstract(*args):
+        return jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+            if hasattr(a, "shape") else a, args)
+
+    sds_f = jax.ShapeDtypeStruct((nsrl, LPb), ms.dtype)
+    sds_t = (jax.ShapeDtypeStruct((nsrl, LTP), ms.dtype) if LT else None)
+    abs_adv = (sds_f,) + abstract(bundle)
+    abs_phys = ((sds_f, sds_t) + abstract(stress6, frc6, denv, env2d)
+                if LT else
+                (sds_f,) + abstract(stress6, frc6, denv, env2d))
+    def xla_bytes(jfn, absargs):
         """XLA cost-analysis 'bytes accessed' (audits the hand model;
         NaN when unavailable; Pallas custom-call internals are NOT
         counted, so this undercounts both fused kernels)."""
         try:
-            absargs = jax.tree.map(
-                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
-                if hasattr(a, "shape") else a, args)
             ca = jfn.lower(*absargs).compile().cost_analysis()
             if isinstance(ca, list):
                 ca = ca[0] if ca else {}
@@ -302,31 +344,73 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
         except Exception:  # noqa: BLE001
             return float("nan")
 
-    # barrier note: at O512 residency, ANY extra executable touching the
-    # 5 GB state (a sync-probe jit, or even a [0,0] tick output added to
-    # the donating step) OOMs on the relay — measured repeatedly this
-    # round; plain block_until_ready works and is a true barrier (its
-    # timings match the probe-style sync at O160 where both run)
-    def barrier(x):
-        jax.block_until_ready(x)
+    def compiled_mem(jfn, absargs):
+        """Compiled memory analysis (works through the relay where
+        device memory_stats does not)."""
+        try:
+            ma = jfn.lower(*absargs).compile().memory_analysis()
+            return dict(
+                args=float(getattr(ma, "argument_size_in_bytes", 0)),
+                out=float(getattr(ma, "output_size_in_bytes", 0)),
+                temp=float(getattr(ma, "temp_size_in_bytes", 0)),
+                alias=float(getattr(ma, "alias_size_in_bytes", 0)))
+        except Exception:  # noqa: BLE001
+            return None
 
-    bundle = fp.bundle
-    log("compiling advection")
-    t0 = time.time()
-    f_srl = adv_srl(f_srl, bundle)
-    barrier(f_srl)
-    log(f"advection compile+first {time.time()-t0:.0f}s")
-    log("compiling physics")
-    t0 = time.time()
-
+    # warm the PERSISTENT disk cache for every executable that must run
+    # at high residency — a fresh compile dispatched through the relay
+    # while the 5 GB state is resident OOMs regardless of program size
+    # (measured: even the tiny drain's first compile).  The compiled
+    # objects are dropped immediately: RETAINED AOT executables leave
+    # server-side state resident that also collides with execution
+    # (measured: r5m/n/o first-step OOMs)
     def phys_call(f_srl, tail, stress6):
         if LT:
             return phys_srl(f_srl, tail, stress6, frc6, denv, env2d)
         return phys_srl(f_srl, stress6, frc6, denv, env2d)
 
+    # WARM-UP on a zeros state BEFORE the real one exists: compiles the
+    # steps + the drain barrier while residency is low, and carves the
+    # allocator's two spectrum-sized regions cleanly — building the
+    # real state first fragments the arena so the advection temp no
+    # longer fits (measured: the on-device-init OOM this round; the r4
+    # host-push init never churned the arena).  The drain verifies the
+    # warm-up chain actually executed (block_until_ready is NOT a
+    # barrier through the relay and async failures stay silent).
+    log("warm-up: compiling+running steps on a zeros state")
+    t0 = time.time()
+    f_srl = jnp.zeros((nsrl, LPb), ms.dtype)
+    tail = jnp.zeros((nsrl, LTP), ms.dtype) if LT else None
+    f_srl = adv_srl(f_srl, bundle)
+    f_srl, tail, stress6_w = phys_call(
+        f_srl, tail, jax.tree.map(lambda a: a + 0.0, stress6))
+    float(jax.device_get(drain(stress6_w)))
+    del f_srl, tail, stress6_w
+    log(f"warm-up done in {time.time()-t0:.0f}s")
+
+    # initial state built ON DEVICE directly in the SRL layout (MSTART
+    # is closed-form per bin): the former host build + 5.2 GB relay push
+    # cost ~11 min at O512; one jitted kernel replaces both
+    t0 = time.time()
+    f_srl, tail = fp.initial_srl(wswave.astype(np.float32),
+                                 wdwave.astype(np.float32))
+    f_srl.block_until_ready()
+    log(f"initial SRL state on device in {time.time()-t0:.0f}s "
+        f"({f_srl.nbytes/1e9:.1f} GB)")
+
+    def barrier():
+        return float(jax.device_get(drain(stress6)))
+
+    log("first advection")
+    t0 = time.time()
+    f_srl = adv_srl(f_srl, bundle)
+    barrier()
+    log(f"advection first step {time.time()-t0:.0f}s")
+    log("first physics")
+    t0 = time.time()
     f_srl, tail, stress6 = phys_call(f_srl, tail, stress6)
-    barrier(f_srl)
-    log(f"physics compile+first {time.time()-t0:.0f}s")
+    barrier()
+    log(f"physics first step {time.time()-t0:.0f}s")
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -338,13 +422,13 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
         f_srl = adv_srl(f_srl, bundle)
         f_srl, tail, stress6 = phys_call(f_srl, tail, stress6)
         f_srl = adv_srl(f_srl, bundle)
-    barrier(f_srl)
+    barrier()
     dt_pair = (time.perf_counter() - t0) / steps
 
     t0 = time.perf_counter()
     for _ in range(steps):
         f_srl = adv_srl(f_srl, bundle)
-    barrier(f_srl)
+    barrier()
     t_adv = (time.perf_counter() - t0) / steps
     t_phys = max(dt_pair - 2.0 * t_adv, 0.0)
 
@@ -357,45 +441,16 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
     except Exception:  # noqa: BLE001
         peak_bytes = None
 
-    def compiled_mem(jfn, *absargs):
-        """Compiled memory analysis (argument+output+temp+peak) — works
-        through the relay where device memory_stats does not."""
-        try:
-            ma = jfn.lower(*absargs).compile().memory_analysis()
-            return dict(
-                args=float(getattr(ma, "argument_size_in_bytes", 0)),
-                out=float(getattr(ma, "output_size_in_bytes", 0)),
-                temp=float(getattr(ma, "temp_size_in_bytes", 0)),
-                alias=float(getattr(ma, "alias_size_in_bytes", 0)))
-        except Exception:  # noqa: BLE001
-            return None
-
-    def abstract(*args):
-        return jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
-            if hasattr(a, "shape") else a, args)
-
-    abs_adv = abstract(f_srl, bundle)
-    abs_phys = (abstract(f_srl, tail, stress6, frc6, denv, env2d)
-                if LT else abstract(f_srl, stress6, frc6, denv, env2d))
-    mem_adv = compiled_mem(adv_srl, *abs_adv)
-    mem_phys = compiled_mem(phys_srl, *abs_phys)
-    xla_adv = xla_bytes(adv_srl, *abs_adv)
+    # AOT analyses AFTER the timing (pre-state AOT compiles leave
+    # server-side executable state resident that collides with the
+    # step execution — measured OOM)
+    mem_adv = compiled_mem(adv_srl, abs_adv)
+    mem_phys = compiled_mem(phys_srl, abs_phys)
+    xla_adv = xla_bytes(adv_srl, abs_adv)
 
     bins = ms.n_real * nang * nfre
     value = bins / (dt_pair / 2.0)
-    # RELEASE the model state AND the step executables before the probe
-    # allocations: at O512 the resident state + the executables'
-    # retained arenas + a 2 GB triad exceed HBM (measured OOM in
-    # measure_stream_bw)
-    del f_srl, tail, stress6, frc6, denv, env2d, abs_adv, abs_phys
-    del adv_srl, phys_srl
-    import gc
-    gc.collect()
-    jax.clear_caches()
-    bw = measure_stream_bw(jax, jnp)
-    vpu = measure_vpu_flops(jax, jnp)
-    trate = measure_trans_rate(jax, jnp)
+    bw, vpu, trate = get_rates(jax, jnp)
 
     # ---- audited roofline models -------------------------------------
     # advection bytes (pallas kernel): 3 window reads + 1 write of the
@@ -493,6 +548,13 @@ def run_fused(grid_name, steps, profile_dir, nang=36, nfre=36,
 
 
 def main():
+    if "--rates" in sys.argv:
+        import jax
+        import jax.numpy as jnp
+        print(json.dumps([measure_stream_bw(jax, jnp),
+                          measure_vpu_flops(jax, jnp),
+                          measure_trans_rate(jax, jnp)]))
+        return 0
     steps = int(os.environ.get("ECWAVE_BENCH_STEPS", "5"))
     forced = os.environ.get("ECWAVE_BENCH_GRID")
     profile_dir = os.environ.get("ECWAVE_BENCH_PROFILE")
@@ -506,10 +568,18 @@ def main():
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(os.path.dirname(
                               os.path.abspath(__file__)), ".jax_cache"))
+        # EVERYTHING must persist: a sub-threshold program (the drain
+        # barrier) would re-compile at high residency and OOM
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          10)
+                          0)
     except Exception:  # noqa: BLE001
         pass
+    # rate probes run in a subprocess BEFORE this process touches the
+    # device (single-tenant grant + relay memory retention: see
+    # get_rates)
+    log("measuring device rates (subprocess)")
+    import jax.numpy as jnp
+    get_rates(jax, jnp)
 
     best = {"out": None}
 

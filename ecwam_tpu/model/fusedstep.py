@@ -281,28 +281,63 @@ class FusedPropagation:
 
         @functools.partial(jax.jit, static_argnames=("with_tail",))
         def _build(wsw, wdw, src, with_tail):
-            ws = jnp.concatenate([jnp.asarray(wsw, dt),
-                                  jnp.zeros(1, dt)])[src]
-            wd = jnp.concatenate([jnp.asarray(wdw, dt),
-                                  jnp.zeros(1, dt)])[src]
-            fpk, alphaj = preset_mod.peak(ws, fetch, frmax, xp=jnp)
-            et = preset_mod.jonswap_1d(jnp.asarray(fr, dt), fpk, alphaj,
-                                       zgamma, sa, sb, xp=jnp)
-            st = preset_mod.spread(jnp.asarray(th, dt), wd, xp=jnp)
+            ws_ext = jnp.concatenate([jnp.asarray(wsw, dt),
+                                      jnp.zeros(1, dt)])
+            wd_ext = jnp.concatenate([jnp.asarray(wdw, dt),
+                                      jnp.zeros(1, dt)])
             nsrl = src.shape[0]
 
-            def pack(et_part, lanes, lanes_pad):
-                body = (st[:, :, None] * et_part[:, None, :]).reshape(
-                    nsrl, lanes)
-                if lanes_pad > lanes:
-                    body = jnp.concatenate(
-                        [body, jnp.zeros((nsrl, lanes_pad - lanes), dt)],
-                        axis=1)
-                return body
+            def rows(src_c):
+                """JONSWAP ⊗ spread rows for a chunk of SRL sources."""
+                ws = ws_ext[src_c]
+                wd = wd_ext[src_c]
+                fpk, alphaj = preset_mod.peak(ws, fetch, frmax, xp=jnp)
+                et = preset_mod.jonswap_1d(
+                    jnp.asarray(fr, dt), fpk, alphaj, zgamma, sa, sb,
+                    xp=jnp)
+                st = preset_mod.spread(jnp.asarray(th, dt), wd, xp=jnp)
+                cc = src_c.shape[0]
 
-            f_srl = pack(et[:, :nfre_red], L, LP)
-            tail = pack(et[:, nfre_red:], LT, LTP) if with_tail else None
-            return f_srl, tail
+                def pack(et_part, lanes, lanes_pad):
+                    body = (st[:, :, None] * et_part[:, None, :]
+                            ).reshape(cc, lanes)
+                    if lanes_pad > lanes:
+                        body = jnp.concatenate(
+                            [body,
+                             jnp.zeros((cc, lanes_pad - lanes), dt)],
+                            axis=1)
+                    return body
+
+                f = pack(et[:, :nfre_red], L, LP)
+                t = (pack(et[:, nfre_red:], LT, LTP) if with_tail
+                     else None)
+                return f, t
+
+            # chunked over rows: the whole-field build carries ~10 GB
+            # of unfused outer-product temps at O512 (measured compiled
+            # memory analysis) — chunking bounds temps to ~0.5 GB
+            C = min(65536, nsrl)
+            nch = nsrl // C
+            rem = nsrl - nch * C
+            out = jnp.zeros((nsrl, LP), dt)
+            outt = jnp.zeros((nsrl, LTP), dt) if with_tail else None
+
+            def body(i, carry):
+                out, outt = carry
+                s = i * C
+                f, t = rows(jax.lax.dynamic_slice(src, (s,), (C,)))
+                out = jax.lax.dynamic_update_slice(out, f, (s, 0))
+                if with_tail:
+                    outt = jax.lax.dynamic_update_slice(outt, t, (s, 0))
+                return out, outt
+
+            out, outt = jax.lax.fori_loop(0, nch, body, (out, outt))
+            if rem:
+                f, t = rows(src[nch * C:])
+                out = out.at[nch * C:, :].set(f)
+                if with_tail:
+                    outt = outt.at[nch * C:, :].set(t)
+            return out, outt
 
         return _build(wswave, wdwave, src, LT > 0)
 

@@ -104,6 +104,23 @@ def run_full():
         @functools.partial(jax.jit, donate_argnums=(0,))
         def adv(f, bundle):
             return fp.advect_srl(f, bundle)
+    if mode == "chain":
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def phys(f, t, s6, f6, dv, e2):
+            ff, s6n, tl = fp.phys_srl_pallas(f, s6, f6, dv, e2, t)
+            return ff, tl, s6n
+        drain = jax.jit(lambda s: s[0, 0] * 0.0 + s[1, 1])
+        try:
+            f_srl = adv(f_srl, fp.bundle)
+            tail2 = tail
+            f_srl, tail2, stress6 = phys(f_srl, tail2, stress6, frc6,
+                                         denv, env2d)
+            v = float(jax.device_get(drain(stress6)))
+            live("after chain")
+            print("CHAIN OK", v, flush=True)
+        except Exception as e:
+            print("CHAIN FAIL", repr(e)[:300], flush=True)
+        raise SystemExit
     try:
         if mode == "tick":
             f_srl, tick = adv(f_srl, fp.bundle)
