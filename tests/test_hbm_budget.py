@@ -118,18 +118,40 @@ def test_o1280_eight_shard_kernel_arch_fits_hbm():
     sm._kfast.lower(rows, tail, s6, frc, sm._kt_dev,
                     sm._krows_dev).compile()
 
-    # the single-chip O512 bench shape must also fit
+    # ---- the single-chip O512 bench shape must also fit --------------
+    # liveness model per the measured compiled memory analyses
+    # (BENCH_r05 mem_analysis_adv/phys): peak = state (advection output
+    # aliases the donated input) + tail + the wrap-refresh temp (one
+    # spectrum copy) + tables + per-point rows
     g512 = grid_mod.octahedral_grid(512)
     row_cnt = np.asarray(g512.nlonrgg, np.int64)
     S = _seg_size(int(row_cnt.max()))
     WD = 12
     row_len = ((row_cnt + 2 * WD + S - 1) // S) * S
     nsrl512 = int(row_len.sum()) + 3 * S
-    total512 = (nsrl512 * (2 * LP + LTP) * 4
-                + nsrl512 * per_row_b
-                + nsrl512 * per_pt_b)
-    # static sum (~15.3 GB) vs the 15.75 GB chip: the margin is thin on
-    # paper but the O512 bench runs this exact configuration on the
-    # hardware (BENCH_r04) — the sum over-counts liveness (the physics
-    # kernel aliases in/out; donated buffers free at the gather)
-    assert total512 < HBM_BYTES, total512 / 1e9
+    state512 = nsrl512 * (LP + LTP) * 4
+    adv_temp512 = nsrl512 * LP * 4
+    fast512 = (state512 + adv_temp512
+               + nsrl512 * per_row_b + nsrl512 * per_pt_b)
+    assert fast512 < HBM_BYTES, fast512 / 1e9
+
+    # ---- FULL-diagnostics output-date step at the O512 shape ---------
+    # the chunked full mode (fusedstep.phys_srl_full_chunked) bounds the
+    # per-bin diagnostics to one chunk: xllws (nang, nfre, C) + the
+    # windsea-separation temps (~4 chunk-spectra) + the per-point state
+    # rows — the unchunked form's (nang, nfre, nsrl) xllws (+5.9 GB)
+    # cannot fit and is no longer used at scale (VERDICT r4 missing #3)
+    C = 65536
+    chunk_b = (NANG * NFRE * C * 4) * 5
+    nso = 30                                   # SCAL_OUT_FULL rows
+    full512 = (state512 + chunk_b + nsrl512 * (nso + 12) * 4
+               + nsrl512 * per_row_b + nsrl512 * per_pt_b)
+    report512 = (f"O512 fast peak {fast512/1e9:.2f} GB, full-chunked "
+                 f"output-date peak {full512/1e9:.2f} GB vs "
+                 f"{HBM_BYTES/1e9:.2f} GB HBM")
+    print(report512)
+    assert full512 < HBM_BYTES, report512
+    # the unchunked form is genuinely infeasible — document by assertion
+    xllws_full = NANG * NFRE * nsrl512 * 4
+    assert state512 + adv_temp512 + xllws_full + nsrl512 * per_row_b \
+        > HBM_BYTES
