@@ -246,10 +246,7 @@ def run_model(cfg: RunConfig, rundir: str, *, dtype=None, quiet=False):
     # output dates.  CPU runs keep the cached/XLA WaveModel.
     from ecwam_tpu.model.fusedstep import default_backend
     use_fast = (ms.weights_mode == "fused"
-                and default_backend(ms.dtype) == "pallas"
-                # ISNONLIN=2 (PEAK_ANG) is the one remaining
-                # kernel-unsupported option (implsch_pallas._check_cfg)
-                and ms.phys.isnonlin != 2)
+                and default_backend(ms.dtype) == "pallas")
     if use_fast:
         model = driver_mod.FastWaveModel(ms, provider, cfg.begin,
                                          fl1=fl1, stress=stress)

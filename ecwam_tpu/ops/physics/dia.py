@@ -26,6 +26,7 @@ import dataclasses
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ecwam_tpu.core import constants as c
@@ -360,9 +361,11 @@ def peak_ang(fl1, tb):
     sum0 = zeps + jnp.sum(dfim * temp, axis=0)
     sum1 = jnp.sum(dfimfr * temp, axis=0)
     sum2 = jnp.sum(dfimfr2 * temp, axis=0)
-    delt25 = sp.WETAIL * tb.fr[-1] * tb.delth
-    coef_fr = sp.WP1TAIL * tb.delth * tb.fr[-1] ** 2
-    coef_fr2 = WP2TAIL * tb.delth * tb.fr[-1] ** 3
+    # float() casts: numpy f64 SCALARS are strongly typed under x64 and
+    # would promote the whole f32 chain (kernel refs reject f64 stores)
+    delt25 = float(sp.WETAIL * tb.fr[-1] * tb.delth)
+    coef_fr = float(sp.WP1TAIL * tb.delth * tb.fr[-1] ** 2)
+    coef_fr2 = float(WP2TAIL * tb.delth * tb.fr[-1] ** 3)
     t_last = temp[-1]
     sum0 = sum0 + delt25 * t_last
     sum1 = sum1 + coef_fr * t_last
@@ -375,7 +378,15 @@ def peak_ang(fl1, tb):
     # initialised to MMAX=2 (peak_ang.F90:88-103)
     interior = fl1[:, 1:nfre - 1, :]
     xmax = jnp.max(interior, axis=(0, 1))
-    m_of = jnp.argmax(jnp.max(interior, axis=0), axis=0) + 1  # 0-based
+    colmax = jnp.max(interior, axis=0)               # (nfre-2, npts)
+    if kernelmode.PALLAS_SAFE:
+        # argmax via masked-min-iota (Mosaic has no argmax/gather);
+        # first index on ties, matching jnp.argmax
+        it = jax.lax.broadcasted_iota(jnp.int32, colmax.shape, 0)
+        m_of = jnp.min(jnp.where(colmax == xmax[None, :], it,
+                                 jnp.int32(nfre)), axis=0) + 1
+    else:
+        m_of = jnp.argmax(colmax, axis=0) + 1        # 0-based
     mmax = jnp.where(xmax > 0.0, m_of, 1)
 
     sinth = jnp.asarray(tb.sinth, dt)[:, None]
@@ -391,13 +402,19 @@ def peak_ang(fl1, tb):
         m = mmax + off
         valid = (m >= 0) & (m <= nfre - 1)
         mc = jnp.clip(m, 0, nfre - 1)
-        flm = jnp.take_along_axis(
-            fl1, mc[None, None, :], axis=1)[:, 0, :]   # (nang, npts)
+        if kernelmode.PALLAS_SAFE:
+            flm = kernelmode.take_freq_at(fl1, mc, axis=1)
+            dfim_m = jnp.where(
+                valid, kernelmode.take_table(
+                    jnp.asarray(tb.dfim, dt), mc), 0.0)
+        else:
+            flm = jnp.take_along_axis(
+                fl1, mc[None, None, :], axis=1)[:, 0, :]  # (nang, npts)
+            dfim_m = jnp.where(valid, jnp.asarray(tb.dfim, dt)[mc], 0.0)
         flm = jnp.where(valid[None, :], flm, 0.0)
-        dfim_m = jnp.where(valid, jnp.asarray(tb.dfim, dt)[mc], 0.0)
         sum_s = sum_s + jnp.sum(sinth * flm, axis=0)
         sum_c = sum_c + jnp.sum(costh * flm, axis=0)
-        thmean = jnp.arctan2(sum_s, sum_c)
+        thmean = kernelmode.arctan2(sum_s, sum_c)
         s1 = s1 + jnp.sum(flm, axis=0) * dfim_m
         s2 = s2 + jnp.sum(jnp.cos(th - thmean[None, :]) * flm,
                           axis=0) * dfim_m

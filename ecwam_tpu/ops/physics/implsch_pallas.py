@@ -402,7 +402,7 @@ def implsch_pallas_srl(cfg, f_srl, env2d, scal, tail=None, *,
 
 
 def _check_cfg(cfg):
-    if cfg.isnonlin == 2:
-        raise NotImplementedError(
-            "ISNONLIN=2 (PEAK_ANG spread enhancement) runs on the XLA "
-            "physics path only")
+    # all physics options lower through Mosaic as of round 5
+    # (ISNONLIN=2/PEAK_ANG was the last: one-hot argmax + masked
+    # frequency selects in ops/physics/dia.py peak_ang)
+    pass

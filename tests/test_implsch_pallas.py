@@ -147,6 +147,14 @@ def test_kernel_compact_interpret_matches_direct(full):
     _check_kernel_vs_direct(tb, cfg, env, fl1, frc, stress, full)
 
 
+def test_kernel_isnonlin2_interpret_matches_direct():
+    """ISNONLIN=2 (PEAK_ANG spread enhancement, snonlin.F90:151-165)
+    through the kernel — the last physics option to lower via Mosaic
+    (one-hot argmax + masked frequency selects; VERDICT r4 next #8)."""
+    tb, cfg, env, fl1, frc, stress = _problem(isnonlin=2)
+    _check_kernel_vs_direct(tb, cfg, env, fl1, frc, stress, False)
+
+
 def test_kernel_llgcbz0_cy49_interpret_matches_direct():
     """cy49r1-class physics (LLGCBZ0 gravity-capillary closure +
     LLNORMAGAM + LLCAPCHNK) through the fused kernel."""
