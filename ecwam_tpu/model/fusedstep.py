@@ -42,6 +42,105 @@ def default_backend(dtype) -> str:
     return "xla"
 
 
+# windsea/swell separation keys precomputed by the chunked full step
+SEP_KEYS = ("eswell", "fswell", "thswell", "p1swell", "p2swell",
+            "sprdswell", "esea", "fsea", "thwisea", "p1sea", "p2sea",
+            "sprdsea")
+
+
+def full_chunked_rows(cfg, tb, f_srl, tail, scal_all, env2d, *,
+                      nang: int, nfre_red: int, tile: int = 128,
+                      interpret: bool = False, chunk: int = 65536):
+    """Full-diagnostics physics over SRL rows, CHUNKED — the engine
+    behind :meth:`FusedPropagation.phys_srl_full_chunked`, also used
+    per shard inside the sharded step (the O1280/8 output-date HBM
+    fit): integrates row chunks in place and consumes each chunk's
+    xllws immediately via the windsea separation.
+
+    Returns (f_srl, tail, state) — state has the SCAL_OUT_FULL rows
+    (mij as int32) plus ``sep`` (dict of per-point rows).
+    """
+    import jax.lax as lax
+    from ecwam_tpu.io import products as products_mod
+
+    nfre = tb.nfre
+    L = nang * nfre_red
+    lt = nang * (nfre - nfre_red)
+    nsrl, LP = f_srl.shape
+    dt = f_srl.dtype
+    nso = len(ipk.SCAL_OUT_FULL)
+    i_uf = ipk.SCAL_OUT_FULL.index("ufric")
+
+    C = max(min(chunk, nsrl) // tile, 1) * tile
+    nch = nsrl // C
+    rem = nsrl - nch * C
+    nsi = scal_all.shape[0]
+    nenv = env2d.shape[0]
+
+    def run_chunk(f_c, tail_c, scal_c, env_c):
+        res = ipk.implsch_pallas_srl(
+            cfg, f_c, env_c, scal_c, tail_c,
+            nang=nang, nfre_red=nfre_red, full=True, tile=tile,
+            interpret=interpret)
+        f_new, scal_out = res[0], res[1]
+        tail_new = res[2] if tail_c is not None else None
+        xllws = res[-1]                        # (nang, nfre, Cc)
+        cc = f_new.shape[0]
+        fl = jnp.transpose(f_new, (1, 0))[:L].reshape(
+            nang, nfre_red, cc)
+        if tail_c is not None:
+            tl3 = jnp.transpose(tail_new, (1, 0))[:lt].reshape(
+                nang, nfre - nfre_red, cc)
+            fl = jnp.concatenate([fl, tl3], axis=1)
+        cinv_c = env_c[nfre:2 * nfre]
+        sep = products_mod.sepwisw(
+            fl, xllws, cinv_c, scal_out[i_uf],
+            scal_c[0], scal_c[1], tb)
+        sep_rows = jnp.stack(
+            [sep[k] for k in SEP_KEYS]).astype(dt)
+        return f_new, tail_new, scal_out, sep_rows
+
+    state_rows = jnp.zeros((nso, nsrl), dt)
+    sep_rows = jnp.zeros((len(SEP_KEYS), nsrl), dt)
+
+    def body(i, carry):
+        f_srl, tail, state_rows, sep_rows = carry
+        s = i * C
+        f_c = lax.dynamic_slice(f_srl, (s, 0), (C, LP))
+        tail_c = (lax.dynamic_slice(tail, (s, 0), (C, tail.shape[1]))
+                  if tail is not None else None)
+        scal_c = lax.dynamic_slice(scal_all, (0, s), (nsi, C))
+        env_c = lax.dynamic_slice(env2d, (0, s), (nenv, C))
+        f_new, tail_new, scal_out, sep_c = run_chunk(
+            f_c, tail_c, scal_c, env_c)
+        f_srl = lax.dynamic_update_slice(f_srl, f_new, (s, 0))
+        if tail is not None:
+            tail = lax.dynamic_update_slice(tail, tail_new, (s, 0))
+        state_rows = lax.dynamic_update_slice(
+            state_rows, scal_out.astype(dt), (0, s))
+        sep_rows = lax.dynamic_update_slice(sep_rows, sep_c, (0, s))
+        return f_srl, tail, state_rows, sep_rows
+
+    carry = (f_srl, tail, state_rows, sep_rows)
+    if nch:
+        carry = jax.lax.fori_loop(0, nch, body, carry)
+    f_srl, tail, state_rows, sep_rows = carry
+    if rem:
+        s = nch * C
+        tail_c = tail[s:, :] if tail is not None else None
+        f_new, tail_new, scal_out, sep_c = run_chunk(
+            f_srl[s:, :], tail_c, scal_all[:, s:], env2d[:, s:])
+        f_srl = f_srl.at[s:, :].set(f_new)
+        if tail is not None:
+            tail = tail.at[s:, :].set(tail_new)
+        state_rows = state_rows.at[:, s:].set(scal_out.astype(dt))
+        sep_rows = sep_rows.at[:, s:].set(sep_c)
+
+    state = ipk.unpack_scal_out(state_rows, full=True)
+    state["sep"] = {k: sep_rows[i] for i, k in enumerate(SEP_KEYS)}
+    return f_srl, tail, state
+
+
 class FusedPropagation:
     """Static config + refreshable device ``bundle`` for the fused step."""
 
@@ -371,9 +470,7 @@ class FusedPropagation:
         return tuple(out)
 
     # windsea/swell separation keys precomputed by the chunked full step
-    SEP_KEYS = ("eswell", "fswell", "thswell", "p1swell", "p2swell",
-                "sprdswell", "esea", "fsea", "thwisea", "p1sea", "p2sea",
-                "sprdsea")
+    SEP_KEYS = SEP_KEYS
 
     def phys_srl_full_chunked(self, f_srl, stress6, frc6, denv, env2d,
                               tail=None, *, chunk: int = 65536):
@@ -396,94 +493,16 @@ class FusedPropagation:
         consumed only by the host-side swell-train partitioning) is not
         kept — recomputed on demand for small grids.
         """
-        import jax.lax as lax
-        from ecwam_tpu.io import products as products_mod
-
-        setup = self.setup
-        tb = setup.tb
-        cfg = setup.phys
-        nang, nfre_red = self.nang, self.nfre_red
-        nfre = tb.nfre
-        L = self.L
-        lt = nang * (nfre - nfre_red)
-        nsrl, LP = f_srl.shape
-        dt = f_srl.dtype
-        nso = len(ipk.SCAL_OUT_FULL)
-        i_uf = ipk.SCAL_OUT_FULL.index("ufric")
-
-        C = max(min(chunk, nsrl) // self.phys_tile, 1) * self.phys_tile
-        nch = nsrl // C
-        rem = nsrl - nch * C
-
         scal_all = jnp.concatenate([frc6, denv, stress6], axis=0)
-        nsi = scal_all.shape[0]
-        nenv = env2d.shape[0]
-
-        def run_chunk(f_c, tail_c, scal_c, env_c):
-            res = ipk.implsch_pallas_srl(
-                cfg, f_c, env_c, scal_c, tail_c,
-                nang=nang, nfre_red=nfre_red, full=True,
-                tile=self.phys_tile,
-                interpret=self.interpret or self.backend != "pallas")
-            f_new, scal_out = res[0], res[1]
-            tail_new = res[2] if tail_c is not None else None
-            xllws = res[-1]                        # (nang, nfre, Cc)
-            cc = f_new.shape[0]
-            fl = jnp.transpose(f_new, (1, 0))[:L].reshape(
-                nang, nfre_red, cc)
-            if tail_c is not None:
-                tl3 = jnp.transpose(tail_new, (1, 0))[:lt].reshape(
-                    nang, nfre - nfre_red, cc)
-                fl = jnp.concatenate([fl, tl3], axis=1)
-            cinv_c = env_c[nfre:2 * nfre]
-            sep = products_mod.sepwisw(
-                fl, xllws, cinv_c, scal_out[i_uf],
-                scal_c[0], scal_c[1], tb)
-            sep_rows = jnp.stack(
-                [sep[k] for k in self.SEP_KEYS]).astype(dt)
-            return f_new, tail_new, scal_out, sep_rows
-
-        state_rows = jnp.zeros((nso, nsrl), dt)
-        sep_rows = jnp.zeros((len(self.SEP_KEYS), nsrl), dt)
-
-        def body(i, carry):
-            f_srl, tail, state_rows, sep_rows = carry
-            s = i * C
-            f_c = lax.dynamic_slice(f_srl, (s, 0), (C, LP))
-            tail_c = (lax.dynamic_slice(tail, (s, 0), (C, tail.shape[1]))
-                      if tail is not None else None)
-            scal_c = lax.dynamic_slice(scal_all, (0, s), (nsi, C))
-            env_c = lax.dynamic_slice(env2d, (0, s), (nenv, C))
-            f_new, tail_new, scal_out, sep_c = run_chunk(
-                f_c, tail_c, scal_c, env_c)
-            f_srl = lax.dynamic_update_slice(f_srl, f_new, (s, 0))
-            if tail is not None:
-                tail = lax.dynamic_update_slice(tail, tail_new, (s, 0))
-            state_rows = lax.dynamic_update_slice(
-                state_rows, scal_out.astype(dt), (0, s))
-            sep_rows = lax.dynamic_update_slice(sep_rows, sep_c, (0, s))
-            return f_srl, tail, state_rows, sep_rows
-
-        carry = (f_srl, tail, state_rows, sep_rows)
-        if nch:
-            carry = lax.fori_loop(0, nch, body, carry)
-        f_srl, tail, state_rows, sep_rows = carry
-        if rem:
-            s = nch * C
-            f_c = f_srl[s:, :]
-            tail_c = tail[s:, :] if tail is not None else None
-            f_new, tail_new, scal_out, sep_c = run_chunk(
-                f_c, tail_c, scal_all[:, s:], env2d[:, s:])
-            f_srl = f_srl.at[s:, :].set(f_new)
-            if tail is not None:
-                tail = tail.at[s:, :].set(tail_new)
-            state_rows = state_rows.at[:, s:].set(scal_out.astype(dt))
-            sep_rows = sep_rows.at[:, s:].set(sep_c)
-
-        state = ipk.unpack_scal_out(state_rows, full=True)
-        state["sep"] = {k: sep_rows[i]
-                        for i, k in enumerate(self.SEP_KEYS)}
-        out = [f_srl, state_rows[:6]]
+        f_srl, tail, state = full_chunked_rows(
+            self.setup.phys, self.setup.tb, f_srl, tail, scal_all,
+            env2d, nang=self.nang, nfre_red=self.nfre_red,
+            tile=self.phys_tile,
+            interpret=self.interpret or self.backend != "pallas",
+            chunk=chunk)
+        stress6 = jnp.stack([state[k] for k in ipk.STRESS_KEYS]
+                            ).astype(f_srl.dtype)
+        out = [f_srl, stress6]
         if tail is not None:
             out.append(tail)
         out.append(state)

@@ -602,21 +602,27 @@ def _build_fused_sharded(setup: ModelSetup, mesh: Mesh, *,
         frc6 = jnp.stack([frc.get(k, zeros)
                           for k in ipk.SCAL_IN[:ipk.N_FRC]])
         scal = jnp.concatenate([frc6, envrows["denv"], stress6], axis=0)
+        if full:
+            # chunked full mode per shard: xllws consumed per chunk by
+            # the windsea separation — the global (nang, nfre, rows)
+            # field would not fit HBM at the O1280/8 shard
+            rows, new_tail, state = fstep.full_chunked_rows(
+                cfg_full, tb, rows, tail if LT else None, scal,
+                envrows["env2d"], nang=nang, nfre_red=nfre_red,
+                tile=tile_loc, interpret=interpret)
+            s6 = jnp.stack([state[k] for k in ipk.STRESS_KEYS]
+                           ).astype(dt)
+            return rows, (new_tail if LT else tail), s6, state
         res = ipk.implsch_pallas_srl(
-            cfg_full if full else cfg_min, rows, envrows["env2d"], scal,
+            cfg_min, rows, envrows["env2d"], scal,
             tail if LT else None, nang=nang, nfre_red=nfre_red,
-            full=full, tile=tile_loc, interpret=interpret)
+            full=False, tile=tile_loc, interpret=interpret)
         rows, so = res[0], res[1]
         new_tail = res[2] if LT else tail
-        outs = [rows, new_tail, so[:6]]
-        if full:
-            state = ipk.unpack_scal_out(so, full=True)
-            state["xllws"] = res[2 + bool(LT)]
-            outs.append(state)
-        return tuple(outs)
+        return rows, new_tail, so[:6]
 
     kstate_specs = {k: pt for k in ipk.SCAL_OUT_FULL}
-    kstate_specs["xllws"] = specs_pt_last
+    kstate_specs["sep"] = {k: pt for k in fstep.SEP_KEYS}
     rows_spec = P("pts", None)
     s6_spec = P(None, "pts")
     kfrc_specs = dict(frc_specs)

@@ -190,8 +190,13 @@ def test_sharded_kernel_full_state_for_products():
     assert np.all(np.isfinite(em)) and np.all(em > 0)
     swh = 4.0 * np.sqrt(em)
     assert 0.05 < swh.mean() < 15.0
-    assert np.asarray(state["xllws"]).shape[:2] == (ms.tb.nang,
-                                                    ms.tb.nfre)
+    # per-bin xllws is no longer materialized (chunked full mode);
+    # the windsea separation rows take its place for products
+    assert "xllws" not in state
+    esea = sm.from_layout(np.asarray(state["sep"]["esea"]))[:n]
+    eswell = sm.from_layout(np.asarray(state["sep"]["eswell"]))[:n]
+    assert np.all(np.isfinite(esea)) and np.all(np.isfinite(eswell))
+    assert np.all(esea + eswell > 0)
     mij = sm.from_layout(np.asarray(state["mij"]))[:n]
     assert mij.min() >= 0 and mij.max() <= ms.tb.nfre - 1
     to = sm.from_layout(np.asarray(state["tauoc"]))[:n]
