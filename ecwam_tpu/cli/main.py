@@ -346,16 +346,36 @@ def run_model(cfg: RunConfig, rundir: str, *, dtype=None, quiet=False):
             lambda fl, wn, dp: so_mod.cal_second_order_spec(
                 fl, wn, dp, ms.tb, so_tables, sig=1.0))
 
+    # output-path point blocking: above this size the compact spectrum
+    # is pulled per chunk (outblock.F90's NPROMA role) — the whole
+    # field would not fit next to the resident SRL state at O512+
+    chunk_threshold = int(os.environ.get("ECWAVE_OUTPUT_CHUNK_ABOVE",
+                                         str(1 << 18)))
+
     def do_output(date):
         d14 = _fmt14(date)
-        fl_out = model.fl1
-        if so_correct is not None:
-            fl_out = so_correct(model.fl1, ms.env["wavnum"],
-                                ms.env["depth"])
-        fields = products_mod.compute(
-            known, fl_out, ms.tb, {**model.state, **model.stress},
-            model.frc, ms.phys.params, env=ms.env,
-            llgcbz0=ms.phys.params.llgcbz0)
+        if (use_fast and ms.n_pad > chunk_threshold
+                and not any(n in products_mod.TRAIN_FIELDS
+                            for n in known)):
+            so_fn = None
+            if so_correct is not None:
+                def so_fn(fl, env_c):
+                    return so_correct(fl, env_c["wavnum"],
+                                      env_c["depth"])
+            fields = products_mod.compute_chunked(
+                known, model.fl1_chunk, ms.n_pad, ms.tb,
+                {**model.state, **model.stress}, model.frc,
+                ms.phys.params, env=ms.env,
+                llgcbz0=ms.phys.params.llgcbz0, so_correct=so_fn)
+        else:
+            fl_out = model.fl1
+            if so_correct is not None:
+                fl_out = so_correct(model.fl1, ms.env["wavnum"],
+                                    ms.env["depth"])
+            fields = products_mod.compute(
+                known, fl_out, ms.tb, {**model.state, **model.stress},
+                model.frc, ms.phys.params, env=ms.env,
+                llgcbz0=ms.phys.params.llgcbz0)
         host = {n: np.asarray(fields[n])[: ms.n_real] for n in known}
         # OUTSETWMASK: ice/shallow masking of flagged output params
         host = outcontrol.apply_output_masks(

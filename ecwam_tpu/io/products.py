@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ecwam_tpu.core import constants as c
@@ -659,3 +660,48 @@ def compute(names, fl1, tb, state, frc, params, env=None, *,
     if return_intermediates:
         return out, inter
     return out
+
+
+def compute_chunked(names, fl1_chunk_fn, n_pad, tb, state, frc, params,
+                    env=None, *, llgcbz0: bool = False,
+                    chunk: int = 65536, so_correct=None):
+    """Catalog evaluation CHUNKED over the point axis — the at-scale
+    output path (outblock.F90's NPROMA blocking role): the compact
+    spectrum is pulled per chunk via ``fl1_chunk_fn(start, count)``
+    (driver.FastWaveModel.fl1_chunk) and never materialized whole
+    (~5.9 GB at O512); products are pure per-point reductions, so
+    per-chunk results concatenate exactly.
+
+    ``so_correct(fl, env_chunk)`` optionally applies the second-order
+    output correction per chunk.  Swell-train fields are not available
+    on this path (per-bin mask — see compute()).
+    """
+    bad = [n for n in names if n in TRAIN_FIELDS]
+    if bad:
+        raise NotImplementedError(
+            f"swell-train products {bad} are not available on the "
+            "chunked output path")
+    C = min(chunk, n_pad)
+    # halo-extended variants have length n_pad+1 — drop them (the
+    # catalog reads only the padded-point arrays)
+    env = {k: v for k, v in (env or {}).items()
+           if not k.endswith("_ext")}
+
+    def slice_cols(tree, s):
+        return jax.tree.map(lambda v: jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(v), s, C, axis=-1), tree)
+
+    pieces = {n: [] for n in names}
+    for s0 in range(0, n_pad, C):
+        s = min(s0, n_pad - C)               # clamp the last chunk
+        fl_c = fl1_chunk_fn(s, C)
+        env_c = slice_cols(env, s)
+        if so_correct is not None:
+            fl_c = so_correct(fl_c, env_c)
+        fields = compute(names, fl_c, tb, slice_cols(state, s),
+                         slice_cols(frc, s), params, env=env_c,
+                         llgcbz0=llgcbz0)
+        drop = s0 - s                        # overlap from clamping
+        for n in names:
+            pieces[n].append(np.asarray(fields[n])[drop:])
+    return {n: np.concatenate(v) for n, v in pieces.items()}

@@ -270,6 +270,7 @@ class FastWaveModel(WaveModel):
         self._jit_extract = jax.jit(
             lambda rows, b: fp.extract_state(rows, b))
         self._compact_cache = None
+        self._jit_chunk = None
 
     # -- compact-layout views ------------------------------------------
     def _set_compact(self, fl1):
@@ -303,6 +304,39 @@ class FastWaveModel(WaveModel):
                 out = jnp.concatenate([out, t], axis=1)
             self._compact_cache = out
         return self._compact_cache
+
+    def fl1_chunk(self, start: int, count: int):
+        """Compact spectrum (nang, nfre, count) for canonical points
+        [start, start+count) WITHOUT materializing the whole compact
+        field — the at-scale output path (the full compact spectrum is
+        ~5.9 GB at O512 on top of the resident SRL state).
+
+        ``count`` must be the same for every call (one compiled gather;
+        pad the final chunk by clamping ``start``)."""
+        fp, tb = self.fp, self.setup.tb
+        nang, nfre_red = tb.nang, tb.nfre_red
+        if self._jit_chunk is None:
+            L = fp.L
+            lt = self._LT
+
+            def _chunk(f_srl, tail, fsp, start):
+                idx = jax.lax.dynamic_slice(fsp, (start,), (count,))
+                rows = f_srl[idx][:, :L]
+                out = jnp.transpose(rows, (1, 0)).reshape(
+                    nang, nfre_red, count)
+                if lt:
+                    tr = tail[idx][:, :lt]
+                    t3 = jnp.transpose(tr, (1, 0)).reshape(
+                        nang, tb.nfre - nfre_red, count)
+                    out = jnp.concatenate([out, t3], axis=1)
+                return out
+
+            self._jit_chunk = (jax.jit(_chunk), count)
+        fn, c0 = self._jit_chunk
+        if c0 != count:
+            raise ValueError(f"chunk size changed: {c0} != {count}")
+        return fn(self._f_srl, self._tail,
+                  self.fp.bundle["from_srl_pad"], start)
 
     @fl1.setter
     def fl1(self, value):

@@ -73,3 +73,34 @@ def test_chunked_matches_unchunked_full():
         np.testing.assert_allclose(
             np.asarray(st_c["sep"][k]), np.asarray(want[k]),
             rtol=5e-5, atol=1e-6, err_msg=k)
+
+
+def test_chunked_products_match_whole_field():
+    """products.compute_chunked (the at-scale output path) vs whole-
+    field compute on the fast driver (outblock.F90 NPROMA role)."""
+    from ecwam_tpu.model import driver
+
+    nang, nfre, nfre_red = 12, 15, 12
+    ms = setup_mod.build_model(
+        grid_name="12.0", nang=nang, nfre=nfre, nfre_red=nfre_red,
+        idelpro=900.0, idelt=900.0, pad_to=128, dtype=jnp.float32,
+        weights_mode="fused")
+    m = driver.FastWaveModel(
+        ms, driver.constant_wind_forcing(ms.n_real, 11.0),
+        "20230101000000", backend="pallas", interpret=True)
+    m.advance(2, full_phys=True)
+
+    names = ("swh", "mwp", "mwd", "shww", "shts", "mdww", "dwps",
+             "tauoc", "ust")
+    known = tuple(n for n in names if n in products_mod.CATALOG)
+    assert len(known) >= 6
+    state = {**m.state, **m.stress}
+    whole = products_mod.compute(
+        known, m.fl1, ms.tb, state, m.frc, ms.phys.params, env=ms.env)
+    chunked = products_mod.compute_chunked(
+        known, m.fl1_chunk, ms.n_pad, ms.tb, state, m.frc,
+        ms.phys.params, env=ms.env, chunk=256)
+    for nme in known:
+        np.testing.assert_allclose(
+            np.asarray(chunked[nme]), np.asarray(whole[nme]),
+            rtol=1e-6, atol=1e-7, err_msg=nme)
