@@ -158,7 +158,11 @@ def stress_gc(ang_gc, ustar, z0, z0min, halp, rnfac,
         const = jnp.zeros_like(ustar)
 
     x = ustar[:, None] * cm
-    xlog = jnp.log(xk * z0[:, None]) + pp.XKAPPA / (x + params.zalp)
+    # log(xk·z0) = log(xk) + log(z0): one (npts,) log instead of a
+    # (npts, nwav) one — this sits inside TAUT_Z0's NITER=18 unrolled
+    # fixed-point loop, the physics kernel's AIRSEA hot spot
+    xlog = (jnp.log(xk) + jnp.log(z0)[:, None]
+            + pp.XKAPPA / (x + params.zalp))
     zlog = jnp.minimum(xlog - jnp.log(xlambda)[:, None], 0.0)
     zlog2x = zlog * zlog * x
     gam_w = zlog2x * zlog2x * jnp.exp(xlog) * om3gmkm         # (npts, nwav)
